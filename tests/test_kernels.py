@@ -1,0 +1,112 @@
+"""Kernel tests: Jaro-Winkler, Hungarian assignment, line features.
+
+Golden vectors ported from reference tests/test_features.py:9-36 plus
+property checks of the assignment solver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from invoice_anomaly_detection_sieve_spark.functions import kernels as K
+
+
+def test_jaro_winkler_basics():
+    assert K.jaro_winkler_similarity("abc", "abc") == 1.0
+    assert K.jaro_winkler_similarity("", "abc") == 0.0
+    assert K.jaro_winkler_similarity("abc", "") == 0.0
+    # canonical textbook value: JW(MARTHA, MARHTA) = 0.961
+    assert abs(K.jaro_winkler_similarity("MARTHA", "MARHTA") - 0.9611111) < 1e-4
+    # DWAYNE/DUANE = 0.84
+    assert abs(K.jaro_winkler_similarity("DWAYNE", "DUANE") - 0.84) < 1e-3
+    sim = K.jaro_winkler_similarity("printer ink", "printer pen")
+    assert 0.0 < sim < 1.0
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 10_000),
+)
+@settings(max_examples=60, deadline=None)
+def test_assignment_matches_bruteforce(n, m, seed):
+    rng = np.random.RandomState(seed)
+    cost = rng.rand(n, m)
+    rows, cols = K.linear_sum_assignment(cost)
+    got = cost[rows, cols].sum()
+
+    import itertools
+
+    k = min(n, m)
+    best = np.inf
+    if n <= m:
+        for perm in itertools.permutations(range(m), k):
+            best = min(best, sum(cost[i, perm[i]] for i in range(k)))
+    else:
+        for perm in itertools.permutations(range(n), k):
+            best = min(best, sum(cost[perm[j], j] for j in range(k)))
+    assert abs(got - best) < 1e-9
+    assert len(rows) == k == len(set(rows.tolist())) == len(set(cols.tolist()))
+
+
+def test_line_features_identical_single_line():
+    # reference tests/test_features.py:9-14
+    a = [{"desc_norm": "printer ink", "qty": 1.0, "unit_price": 10.0, "amount": 10.0}]
+    out = K.line_assign_features(a, list(a))
+    assert out["line_coverage_pct"] >= 0.99
+    assert out["unmatched_amount_frac"] <= 0.01
+
+
+def test_line_features_empty_candidate():
+    # reference tests/test_features.py:27-36
+    a = [{"desc_norm": "widget", "qty": 10.0, "unit_price": 5.0, "amount": 50.0}]
+    out = K.line_assign_features(a, [])
+    assert out["line_coverage_pct"] == 0.0
+    assert out["unmatched_amount_frac"] == 1.0
+    assert out["count_new_items"] == 1.0
+    assert out["median_unit_price_diff"] == 50.0
+
+
+def test_line_features_both_empty():
+    out = K.line_assign_features([], [])
+    assert out["unmatched_amount_frac"] == 1.0
+    assert out["count_new_items"] == 0.0
+    assert out["median_unit_price_diff"] == 0.0
+
+
+def test_line_features_partial_match():
+    a = [
+        {"desc_norm": "blue widget", "qty": 2.0, "unit_price": 5.0, "amount": 10.0},
+        {"desc_norm": "red gadget", "qty": 1.0, "unit_price": 90.0, "amount": 90.0},
+    ]
+    b = [{"desc_norm": "blue widget", "qty": 2.0, "unit_price": 5.0, "amount": 10.0}]
+    out = K.line_assign_features(a, b)
+    # only one a-line can match -> one new item, 90/100 unmatched
+    assert out["count_new_items"] == 1.0
+    assert abs(out["unmatched_amount_frac"] - 0.9) < 1e-9
+    assert abs(out["line_coverage_pct"] - 0.1) < 1e-9
+
+
+def test_dice_3gram():
+    assert K.dice_3gram("abcd", "abcd") == 1.0
+    assert K.dice_3gram("ab", "ab") == 0.0
+    assert abs(K.dice_3gram("abcd", "bcde") - 0.5) < 1e-12
+
+
+@pytest.mark.parametrize("n,m", [(50, 50), (30, 80)])
+def test_assignment_larger_random(n, m):
+    rng = np.random.RandomState(7)
+    cost = rng.rand(n, m)
+    rows, cols = K.linear_sum_assignment(cost)
+    assert len(rows) == min(n, m)
+    # greedy bound: optimal must be <= greedy
+    greedy_total = 0.0
+    used = set()
+    for i in range(min(n, m)):
+        j = int(np.argmin([cost[i, j] if j not in used else np.inf for j in range(m)]))
+        used.add(j)
+        greedy_total += cost[i, j]
+    assert cost[rows, cols].sum() <= greedy_total + 1e-9
