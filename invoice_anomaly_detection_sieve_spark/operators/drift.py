@@ -1,0 +1,166 @@
+"""Distribution-drift constraints (SURVEY.md M5/M7/A9).
+
+Per-doc: the reference's amount z-score against the learned per-partition
+baseline (app/anomaly.py:72-86; ≥2.5 ⇒ UNIT_PRICE_OUTLIER) — a broadcast
+join of the tiny profiles table plus column arithmetic.
+
+Per-partition: the drift monitors the reference specs but never shipped
+(architecture.md:223, requirements.md:258 ML-003):
+- Benford leading-digit test (chi² + mean-absolute-deviation against
+  log10(1+1/d)) straight off the profile's digit histogram — no extra scan;
+- PSI against the baseline profile's decile edges — by construction each
+  baseline bin holds 10% mass, so PSI needs only the *current* bin counts:
+  one groupBy after a broadcast join of the edges;
+- two-sample KS via ``applyInPandas`` per partition (the grouped-map
+  pattern; exact statistic, group-local numpy).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions import scoring as S
+
+BENFORD_EXPECTED = [math.log10(1 + 1 / d) for d in range(1, 10)]
+Z_OUTLIER_THRESHOLD = 2.5  # app/anomaly.py:85
+PSI_ALERT = 0.2  # industry-standard "significant shift" cut
+BENFORD_MAD_ALERT = 0.015  # Nigrini's conformity bound (reported)
+BENFORD_CHI2_ALERT = 26.12  # χ² critical value, df=8, α=0.001 (the flag)
+
+
+def with_anomaly_scores(
+    docs: DataFrame, profiles: DataFrame, history_counts: DataFrame
+) -> DataFrame:
+    """Attach amount_z, outlier flag, anom_prob per doc.
+
+    ``docs`` must already carry ``bank_change`` (registry.bank_change_flags).
+    Profiles/history are one-row-per-partition ⇒ broadcast joins (J5).
+    """
+    prof = profiles.select(
+        F.col("part"),
+        F.col("mean").alias("_bl_mean"),
+        F.col("std").alias("_bl_std"),
+        F.col("sample_count").alias("_bl_n"),
+    )
+    hist = history_counts.select("part", "part_doc_count")
+    out = docs.join(broadcast(prof), "part", "left").join(broadcast(hist), "part", "left")
+    hist_excl_self = F.greatest(F.coalesce(F.col("part_doc_count"), F.lit(1)) - 1, F.lit(0))
+    z = S.amount_z(F.col("total"), F.col("_bl_mean"), F.col("_bl_std"), F.col("_bl_n"))
+    out = (
+        out.withColumn("amount_z", z)
+        .withColumn("amount_outlier", F.col("amount_z") >= Z_OUTLIER_THRESHOLD)
+        .withColumn("hist_count", hist_excl_self)
+        .withColumn(
+            "anom_prob",
+            S.anomaly_probability(F.col("amount_z"), F.col("bank_change"), hist_excl_self),
+        )
+    )
+    return out.drop("_bl_mean", "_bl_std", "_bl_n", "part_doc_count")
+
+
+def benford_stats(profiles: DataFrame) -> DataFrame:
+    """Benford conformity per partition from the profiled digit histogram.
+
+    Output: part, benford_n, benford_chi2, benford_mad, benford_fail.
+    """
+    exp = F.array(*[F.lit(e) for e in BENFORD_EXPECTED])
+    n = F.aggregate(F.col("digit_hist"), F.lit(0.0), lambda a, x: a + x)
+    obs_p = F.transform(F.col("digit_hist"), lambda x: x / F.greatest(n, F.lit(1.0)))
+    chi2 = F.aggregate(
+        F.zip_with(obs_p, exp, lambda o, e: (o - e) * (o - e) / e),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    ) * n
+    mad = F.aggregate(
+        F.zip_with(obs_p, exp, lambda o, e: F.abs(o - e)), F.lit(0.0), lambda a, x: a + x
+    ) / F.lit(9.0)
+    return profiles.select(
+        "part",
+        n.cast("long").alias("benford_n"),
+        chi2.alias("benford_chi2"),
+        mad.alias("benford_mad"),
+        (chi2 > BENFORD_CHI2_ALERT).alias("benford_fail"),
+    )
+
+
+def psi(
+    current: DataFrame, baseline_profiles: DataFrame, field: str = "total"
+) -> DataFrame:
+    """Population-stability index of ``field`` vs the baseline deciles.
+
+    Baseline bins hold exactly 10% each (the profile's decile edges), so
+    PSI = Σ (pᵢ − 0.1)·ln(pᵢ/0.1) over the current bin proportions.
+    Zero-count bins are floored at 1e-4 (standard continuity correction).
+
+    Output: part, psi, psi_fail.
+    """
+    edges = baseline_profiles.select("part", F.col("deciles").alias("_edges"))
+    binned = (
+        current.where(F.col(field).isNotNull())
+        .join(broadcast(edges), "part", "inner")
+        .withColumn(
+            "_bin",
+            F.aggregate(
+                F.col("_edges"),
+                F.lit(0),
+                lambda acc, edge: acc + (F.col(field) > edge).cast("int"),
+            ),
+        )
+    )
+    counts = binned.groupBy("part", "_bin").agg(F.count(F.lit(1)).alias("_c"))
+    totals = counts.groupBy("part").agg(F.sum("_c").alias("_n"))
+    props = counts.join(totals, "part").select(
+        "part", (F.col("_c") / F.col("_n")).alias("_p")
+    )
+    floor = 1e-4
+    term = (F.col("_p") - 0.1) * F.log(F.greatest(F.col("_p"), F.lit(floor)) / 0.1)
+    # bins absent from the current sample contribute (0 - 0.1)*ln(floor/0.1);
+    # account for them via the bin count per part
+    present = props.groupBy("part").agg(
+        F.sum(term).alias("_psi_present"), F.count(F.lit(1)).alias("_nbins")
+    )
+    missing_term = (0.0 - 0.1) * math.log(floor / 0.1)
+    out = present.select(
+        "part",
+        (F.col("_psi_present") + (10 - F.col("_nbins")) * F.lit(missing_term)).alias("psi"),
+    )
+    return out.withColumn("psi_fail", F.col("psi") > PSI_ALERT)
+
+
+KS_SCHEMA = "part string, ks_stat double, n_current long, n_baseline long"
+
+
+def ks_2samp(current: DataFrame, baseline: DataFrame, field: str = "total") -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic per partition.
+
+    Grouped-map (applyInPandas) over the union of both samples tagged by
+    source — the M7 pattern: each partition's samples fit one worker, the
+    statistic is computed with numpy, nothing touches the driver.
+    """
+    cur = current.select("part", F.col(field).alias("_v")).withColumn("_src", F.lit("c"))
+    base = baseline.select("part", F.col(field).alias("_v")).withColumn("_src", F.lit("b"))
+    both = cur.unionByName(base).where(F.col("_v").isNotNull())
+
+    def _ks(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = pdf["part"].iloc[0]
+        c = np.sort(pdf.loc[pdf["_src"] == "c", "_v"].to_numpy(dtype=float))
+        b = np.sort(pdf.loc[pdf["_src"] == "b", "_v"].to_numpy(dtype=float))
+        if len(c) == 0 or len(b) == 0:
+            return pd.DataFrame(
+                [{"part": part, "ks_stat": float("nan"), "n_current": len(c), "n_baseline": len(b)}]
+            )
+        grid = np.concatenate([c, b])
+        cdf_c = np.searchsorted(c, grid, side="right") / len(c)
+        cdf_b = np.searchsorted(b, grid, side="right") / len(b)
+        stat = float(np.abs(cdf_c - cdf_b).max())
+        return pd.DataFrame(
+            [{"part": part, "ks_stat": stat, "n_current": len(c), "n_baseline": len(b)}]
+        )
+
+    return both.groupBy("part").applyInPandas(_ks, KS_SCHEMA)

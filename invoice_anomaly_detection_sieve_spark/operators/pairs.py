@@ -1,0 +1,187 @@
+"""Pairwise duplicate scoring (SURVEY.md §2.7 M1-M4).
+
+Candidate pairs from the blocking join are scored with:
+- header features — pure column arithmetic (reference app/features.py:20-40
+  runs these per-row in Python; here they're codegen'd),
+- ``invnum_edit`` — Jaro-Winkler distance, the one header feature SQL can't
+  express → Arrow-vectorized scalar pandas UDF over the kernel,
+- line-assignment features — Hungarian matching per pair
+  (app/features.py:47-101) → scalar pandas UDF returning a struct; cost
+  matrices stay inside the worker, bounded by the 200-line cap,
+- ``text_cosine`` — Dice on per-doc distinct 3-gram arrays
+  (app/main.py:290-296). The reference recomputes both docs' gram sets for
+  every pair; here each doc's grams are computed once in the extraction
+  projection and the pair step is a single JVM ``array_intersect``,
+- duplicate probability — broadcast logistic weights as a column sigmoid
+  (app/duplicate_model.py:51-80).
+
+Then the reference's top-k (app/main.py:305-307) and deterministic rules on
+the top-1 candidate only (app/main.py:314-321) as window + column exprs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions import kernels as K
+from ..functions import normalize as N
+from ..functions import scoring as S
+
+PAIR_PAYLOAD_COLS = [
+    "doc_id",
+    "invnum_norm",
+    "po",
+    "total",
+    "tax_total",
+    "currency",
+    "date",
+    "payee",
+    "media_key",
+    "pdf_hash",
+    "lines",
+    "grams",
+]
+
+LINE_FEATURES_TYPE = (
+    "line_coverage_pct double, unmatched_amount_frac double, "
+    "count_new_items double, median_unit_price_diff double"
+)
+
+
+def _jw_distance_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """1 − JaroWinkler similarity (app/features.py:39,43-44)."""
+    return pd.Series(
+        [
+            1.0 - K.jaro_winkler_similarity(x or "", y or "")
+            for x, y in zip(a.tolist(), b.tolist())
+        ],
+        dtype="float64",
+    )
+
+
+def _line_features_fn(a_lines: pd.Series, b_lines: pd.Series) -> pd.DataFrame:
+    """Hungarian line-matching features per pair (app/features.py:47-101).
+
+    Arrow hands each array<struct> cell to pandas as a list of dicts; the
+    kernel consumes them directly. O(n·m·|desc|) work stays local to the
+    batch — no shuffle, no driver involvement.
+    """
+    out = [
+        K.line_assign_features(_as_dicts(a), _as_dicts(b))
+        for a, b in zip(a_lines.tolist(), b_lines.tolist())
+    ]
+    return pd.DataFrame(out, columns=[
+        "line_coverage_pct", "unmatched_amount_frac", "count_new_items", "median_unit_price_diff",
+    ])
+
+
+def _as_dicts(cell) -> list[dict]:
+    if cell is None:
+        return []
+    return [dict(x) if not isinstance(x, dict) else x for x in cell]
+
+
+# pandas_udf parses its DDL return type against the active session, so the
+# udf objects are created lazily on first use.
+_UDF_CACHE: dict[str, object] = {}
+
+
+def jw_distance(a, b):
+    if "jw" not in _UDF_CACHE:
+        _UDF_CACHE["jw"] = pandas_udf(_jw_distance_fn, "double")
+    return _UDF_CACHE["jw"](a, b)
+
+
+def line_features(a, b):
+    if "lf" not in _UDF_CACHE:
+        _UDF_CACHE["lf"] = pandas_udf(_line_features_fn, LINE_FEATURES_TYPE)
+    return _UDF_CACHE["lf"](a, b)
+
+
+def _prefixed(docs: DataFrame, prefix: str) -> DataFrame:
+    sel = [F.col(c).alias(prefix + c) for c in PAIR_PAYLOAD_COLS]
+    return docs.select(*sel)
+
+
+def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Join pair ids back to payloads and compute all features + dup_prob.
+
+    Output: part, a_doc_id, b_doc_id, every FEATURE_ORDER column, rule
+    flags, dup_prob.
+    """
+    a = _prefixed(docs, "a_")
+    b = _prefixed(docs, "b_")
+    j = (
+        pairs.join(a, pairs["a_doc_id"] == a["a_doc_id"])
+        .drop(a["a_doc_id"])
+        .join(b, pairs["b_doc_id"] == b["b_doc_id"])
+        .drop(b["b_doc_id"])
+    )
+
+    feats = S.header_features("a_", "b_")
+    j = j.select(
+        "part",
+        "a_doc_id",
+        "b_doc_id",
+        "block_priority",
+        *[expr.alias(name) for name, expr in feats.items()],
+        jw_distance(F.col("a_invnum_norm"), F.col("b_invnum_norm")).alias("invnum_edit"),
+        line_features(F.col("a_lines"), F.col("b_lines")).alias("_lf"),
+        N.dice_overlap(F.col("a_grams"), F.col("b_grams")).alias("text_cosine"),
+        # carried through for rule evaluation on the top-1 row
+        F.col("a_invnum_norm"),
+        F.col("b_invnum_norm"),
+        F.col("a_po"),
+        F.col("b_po"),
+        F.col("a_total"),
+        F.col("b_total"),
+        F.col("a_pdf_hash"),
+        F.col("b_pdf_hash"),
+    ).select("*", "_lf.*").drop("_lf")
+
+    feature_cols = {name: F.col(name) for name in S.FEATURE_ORDER if name != "bank_change_flag"}
+    feature_cols["bank_change_flag"] = F.col("bank_change_flag")
+    scored = j.withColumn("dup_prob", S.dup_probability(feature_cols))
+
+    # deterministic rules evaluated per pair; applied from the top-1 row only
+    scored = scored.withColumn(
+        "rule_exact_invnum",
+        S.rule_same_invnum_norm(F.col("a_invnum_norm"), F.col("b_invnum_norm")),
+    ).withColumn(
+        "rule_same_po_near_total",
+        S.rule_same_po_near_total(
+            F.col("a_po"), F.col("b_po"), F.col("a_total"), F.col("b_total"),
+            F.col("days_diff").cast("int"),
+        ),
+    ).withColumn(
+        "rule_pdf_near_dup",
+        S.rule_pdf_near_dup(F.col("a_pdf_hash"), F.col("b_pdf_hash")),
+    )
+    return scored
+
+
+def top_matches(scored: DataFrame, k: int = 3) -> DataFrame:
+    """Keep the k best candidates per document (app/main.py:305),
+    deterministic tie-break on b_doc_id."""
+    w = Window.partitionBy("a_doc_id").orderBy(F.desc("dup_prob"), F.asc("b_doc_id"))
+    return scored.withColumn("match_rank", F.row_number().over(w)).where(F.col("match_rank") <= k)
+
+
+def doc_duplicate_signals(scored: DataFrame, k: int = 3) -> DataFrame:
+    """Roll pairs up to one row per document (app/main.py:305-321):
+    dup_prob = top-1 similarity, text_dup_prob = max text_cosine over the
+    top-k, rule flags from the top-1 candidate only."""
+    top = top_matches(scored, k)
+    first = lambda c: F.max(F.when(F.col("match_rank") == 1, c))
+    return top.groupBy("part", "a_doc_id").agg(
+        first(F.col("dup_prob")).alias("dup_prob"),
+        first(F.col("b_doc_id")).alias("top_match_doc_id"),
+        F.max("text_cosine").alias("text_dup_prob"),
+        first(F.col("rule_exact_invnum")).alias("rule_exact_invnum"),
+        first(F.col("rule_same_po_near_total")).alias("rule_same_po_near_total"),
+        first(F.col("rule_pdf_near_dup")).alias("rule_pdf_near_dup"),
+        first(F.col("text_cosine")).alias("top_text_cosine"),
+    )

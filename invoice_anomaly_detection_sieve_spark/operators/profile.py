@@ -1,0 +1,114 @@
+"""Per-partition profile learning (SURVEY.md §2.4 A1/A2/A3/A9).
+
+Generalizes the reference's ``vendor_amount_baselines`` job
+(scripts/train_anomaly.py:14-54: groupby(vendor).agg(mean,std,count), NULL
+std → 0) into a full column profile per partition: count, null rate,
+approx-distinct (HLL sketch), mean/std, quantile sketch, deciles (PSI bin
+edges), and the leading-digit histogram that feeds the Benford check
+(architecture.md:223, requirements.md:258).
+
+One shuffle total. Every sketch used (``approx_count_distinct``,
+``percentile_approx``) is a mergeable aggregate, so Catalyst's partial
+(map-side) aggregation already defuses row-count skew: a hot partition
+combines locally on every input split before the single exchange. The
+salted two-stage variant below exists for the moment-only profile where an
+explicit pre-shuffle spread is wanted (north_rule mandates explicit skew
+handling); it demonstrates the pattern used for genuinely non-mergeable
+aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PROFILE_QUANTILES = [0.25, 0.5, 0.75, 0.99]
+PSI_DECILES = [i / 10.0 for i in range(1, 10)]
+APPROX_ACCURACY = 10_000
+
+
+def leading_digit(col):
+    """First significant digit (1-9) of a numeric column, as a string."""
+    return F.regexp_extract(F.abs(col).cast("string"), "[1-9]", 0)
+
+
+def profile(docs: DataFrame, field: str = "total", group_col: str = "part") -> DataFrame:
+    """Profile one numeric field per partition — single groupBy.
+
+    Output: part, field, cnt, null_rate, approx_distinct, mean, std,
+    quantiles (p25/p50/p75/p99), deciles (p10..p90), digit_hist (9 leading
+    digit counts), sample_count (non-null rows; the cold-start gate,
+    app/anomaly.py:91-92).
+    """
+    col = F.col(field)
+    digit = leading_digit(col)
+    agg = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.sum(col.isNull().cast("long")) / F.count(F.lit(1))).alias("null_rate"),
+        F.approx_count_distinct(col).alias("approx_distinct"),
+        F.avg(col).alias("mean"),
+        F.coalesce(F.stddev_samp(col), F.lit(0.0)).alias("std"),
+        F.percentile_approx(col, PROFILE_QUANTILES, APPROX_ACCURACY).alias("quantiles"),
+        F.percentile_approx(col, PSI_DECILES, APPROX_ACCURACY).alias("deciles"),
+        F.array(
+            *[F.sum((digit == str(d)).cast("long")).alias(f"d{d}") for d in range(1, 10)]
+        ).alias("digit_hist"),
+        F.count(col).alias("sample_count"),
+    )
+    return agg.select(
+        F.col(group_col).alias("part"),
+        F.lit(field).alias("field"),
+        "cnt",
+        "null_rate",
+        "approx_distinct",
+        "mean",
+        "std",
+        "quantiles",
+        "deciles",
+        "digit_hist",
+        "sample_count",
+    )
+
+
+def profile_moments_salted(
+    docs: DataFrame, field: str = "total", group_col: str = "part", n_salt: int = 16
+) -> DataFrame:
+    """Two-stage salted mean/std/count — the explicit skew pattern.
+
+    Stage 1 groups on (part, salt) where salt = pmod(xxhash64(doc_id),
+    n_salt), spreading one hot partition over ``n_salt`` reducers; stage 2
+    merges exact sufficient statistics (n, Σx, Σx²). Matches ``profile``'s
+    mean/std/cnt exactly (stddev_samp, NULL→0 like train_anomaly.py:33).
+    """
+    col = F.col(field)
+    salted = docs.withColumn("_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salt)))
+    stage1 = salted.groupBy(group_col, "_salt").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(col).alias("n"),
+        F.sum(col).alias("s1"),
+        F.sum(col * col).alias("s2"),
+    )
+    merged = stage1.groupBy(group_col).agg(
+        F.sum("n_rows").alias("cnt"),
+        F.sum("n").alias("sample_count"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+    )
+    n = F.col("sample_count")
+    mean = F.col("s1") / n
+    # sample variance: (Σx² − n·μ²) / (n−1), guarded like stddev_samp
+    var = F.when(n > 1, (F.col("s2") - n * mean * mean) / (n - 1)).otherwise(F.lit(None))
+    return merged.select(
+        F.col(group_col).alias("part"),
+        F.lit(field).alias("field"),
+        "cnt",
+        mean.alias("mean"),
+        F.coalesce(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0)).alias("std"),
+        "sample_count",
+    )
+
+
+def group_history_counts(docs: DataFrame, group_col: str = "part") -> DataFrame:
+    """Per-partition document count (≈ vendor history size,
+    app/anomaly.py:32-41; the per-doc 'excluding self' count is cnt−1)."""
+    return docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("part_doc_count"))

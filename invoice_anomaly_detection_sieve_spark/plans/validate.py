@@ -1,0 +1,218 @@
+"""The end-to-end validation run — one logical DataFrame DAG.
+
+Spark re-expression of the reference's scoring path (app/main.py:273-349,
+SURVEY.md §3.1): normalize → blocking self-join → pair scoring → top-k →
+registry + profile joins → fusion/decision → violation evidence. The
+reference runs it request-at-a-time with an N+1 candidate loop; here the
+whole table is validated in one job whose only wide operations are the
+blocking join's single shuffle, the pair payload joins, and the profile
+groupBy.
+
+Verdict semantics are the shipped code's (app/decision.py:7-32 fusion +
+thresholds; rules on top-1 only, app/main.py:314-321; reason-code ordering
+and dedup per app/main.py:326-327).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..documents import extract_docs
+from ..functions import scoring as S
+from ..operators import blocking, drift, pairs, profile, registry, rowchecks
+
+
+@dataclass
+class ValidationConfig:
+    hold_threshold: float = S.DEFAULT_HOLD_THRESHOLD  # T_hold, app/config.py:33
+    review_threshold: float = S.DEFAULT_REVIEW_THRESHOLD  # T_review, app/config.py:34
+    candidate_cap: int = blocking.DEFAULT_CAP
+    top_k: int = 3
+    max_key_fanout: int | None = 2000
+    dq_as_of: str | None = None  # pin "today" for deterministic DQ date checks
+    enable_dq: bool = True
+    enable_benford: bool = True
+    constraints: tuple[str, ...] = field(
+        default=("uniqueness", "referential", "row_dq", "drift"), init=False
+    )
+
+
+def doc_verdicts(
+    documents: DataFrame,
+    media_registry: DataFrame,
+    baseline_profiles: DataFrame | None = None,
+    config: ValidationConfig | None = None,
+) -> DataFrame:
+    """Per-document verdict rows (schema ≈ DOC_VERDICTS + evidence cols).
+
+    ``baseline_profiles`` defaults to self-profiling the input (the
+    nightly-baseline analog, scripts/train_anomaly.py); pass a stored
+    profiles DataFrame to validate against history instead.
+    """
+    cfg = config or ValidationConfig()
+    docs = extract_docs(documents)
+
+    profiles = (
+        baseline_profiles
+        if baseline_profiles is not None
+        else profile.profile(docs, "total")
+    )
+    hist = profile.group_history_counts(docs)
+
+    # duplicate sieve: blocking join -> pair features -> per-doc rollup
+    pair_ids = blocking.candidate_pairs(docs, cap=cfg.candidate_cap, max_key_fanout=cfg.max_key_fanout)
+    scored = pairs.score_pairs(docs, pair_ids)
+    dup = pairs.doc_duplicate_signals(scored, k=cfg.top_k)
+
+    # anomaly path: registry flag + baseline z + history discount
+    flagged = registry.bank_change_flags(docs, media_registry)
+    flagged = drift.with_anomaly_scores(flagged, profiles, hist)
+    if cfg.enable_dq:
+        flagged = rowchecks.with_row_checks(flagged, as_of=cfg.dq_as_of)
+    else:
+        for c in ("dq_line_sum_mismatch", "dq_bad_currency", "dq_future_date"):
+            flagged = flagged.withColumn(c, F.lit(False))
+
+    joined = flagged.join(
+        dup.withColumnRenamed("a_doc_id", "doc_id").drop("part"), "doc_id", "left"
+    )
+
+    dup_prob = F.coalesce(F.col("dup_prob"), F.lit(0.0))  # no candidates ⇒ 0.0 (app/main.py:306)
+    text_dup = F.coalesce(F.col("text_dup_prob"), F.lit(0.0))
+    risk = S.fuse_scores(dup_prob, F.col("anom_prob"), F.col("bank_change"), text_dup)
+    decision = S.decide(risk, cfg.review_threshold, cfg.hold_threshold)
+
+    rule = lambda c: F.coalesce(F.col(c), F.lit(False))
+    # canonical reason order = reference emission order (rules on top-1,
+    # then BANK_CHANGE, then anomaly reasons; dedup preserves first
+    # occurrence — app/rules.py:45-70, app/main.py:314-327)
+    reasons = F.filter(
+        F.array(
+            F.when(rule("rule_exact_invnum"), F.lit("EXACT_INVNUM")),
+            F.when(rule("rule_same_po_near_total"), F.lit("SAME_PO_NEAR_TOTAL")),
+            F.when(rule("rule_pdf_near_dup"), F.lit("PDF_NEAR_DUP")),
+            F.when(F.col("bank_change"), F.lit("BANK_CHANGE")),
+            F.when(F.col("amount_outlier"), F.lit("UNIT_PRICE_OUTLIER")),
+            F.when(rule("dq_line_sum_mismatch"), F.lit("LINE_SUM_MISMATCH")),
+            F.when(rule("dq_bad_currency"), F.lit("INVALID_CURRENCY")),
+            F.when(rule("dq_future_date"), F.lit("IMPLAUSIBLE_DATE")),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+    return joined.select(
+        "part",
+        "doc_id",
+        risk.alias("risk_score"),
+        decision.alias("decision"),
+        reasons.alias("reason_codes"),
+        dup_prob.alias("dup_prob"),
+        F.col("anom_prob"),
+        F.col("top_match_doc_id"),
+        F.col("bank_change"),
+        F.col("amount_z"),
+        F.col("amount_outlier"),
+        F.col("dq_line_sum_mismatch"),
+        F.col("dq_bad_currency"),
+        F.col("dq_future_date"),
+        F.col("span_canon"),
+        F.col("total"),
+    )
+
+
+def violations_from_verdicts(verdicts: DataFrame) -> DataFrame:
+    """Explode per-doc reasons into violation evidence rows (VIOLATIONS
+    schema): one row per (doc, reason), carrying the byte-exact span
+    sequence and scalar evidence."""
+    constraint_of = F.create_map(
+        F.lit("EXACT_INVNUM"), F.lit("uniqueness"),
+        F.lit("SAME_PO_NEAR_TOTAL"), F.lit("uniqueness"),
+        F.lit("PDF_NEAR_DUP"), F.lit("uniqueness"),
+        F.lit("BANK_CHANGE"), F.lit("referential"),
+        F.lit("UNIT_PRICE_OUTLIER"), F.lit("drift"),
+        F.lit("LINE_SUM_MISMATCH"), F.lit("row_dq"),
+        F.lit("INVALID_CURRENCY"), F.lit("row_dq"),
+        F.lit("IMPLAUSIBLE_DATE"), F.lit("row_dq"),
+    )
+    exploded = verdicts.select(
+        "part",
+        "doc_id",
+        "span_canon",
+        "risk_score",
+        "dup_prob",
+        "top_match_doc_id",
+        "amount_z",
+        F.explode("reason_codes").alias("reason_code"),
+    )
+    return exploded.select(
+        "part",
+        F.element_at(constraint_of, F.col("reason_code")).alias("constraint_id"),
+        "reason_code",
+        "doc_id",
+        F.map_filter(
+            F.create_map(
+                F.lit("risk_score"), F.col("risk_score").cast("string"),
+                F.lit("dup_prob"), F.col("dup_prob").cast("string"),
+                F.lit("top_match_doc_id"), F.col("top_match_doc_id"),
+                F.lit("amount_z"), F.col("amount_z").cast("string"),
+            ),
+            lambda _, v: v.isNotNull(),
+        ).alias("evidence"),
+        F.col("span_canon").alias("span_seq"),
+    )
+
+
+def partition_verdicts(
+    verdicts: DataFrame,
+    profiles: DataFrame | None = None,
+    benford: DataFrame | None = None,
+) -> DataFrame:
+    """Per-partition pass/fail rollup: counts by decision, violation
+    totals, optional Benford drift status. FAIL iff any HOLD or any
+    partition-level drift failure; WARN on REVIEWs only; else PASS."""
+    agg = verdicts.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("decision") == S.HOLD).cast("long")).alias("n_hold"),
+        F.sum((F.col("decision") == S.REVIEW).cast("long")).alias("n_review"),
+        F.sum(F.size("reason_codes")).alias("n_violations"),
+        F.max("risk_score").alias("max_risk_score"),
+    )
+    if benford is not None:
+        agg = agg.join(benford.select("part", "benford_mad", "benford_fail"), "part", "left")
+    else:
+        agg = agg.withColumn("benford_mad", F.lit(None).cast("double")).withColumn(
+            "benford_fail", F.lit(False)
+        )
+    status = (
+        F.when((F.col("n_hold") > 0) | F.coalesce(F.col("benford_fail"), F.lit(False)), "FAIL")
+        .when(F.col("n_review") > 0, "WARN")
+        .otherwise("PASS")
+    )
+    return agg.withColumn("status", status)
+
+
+def run_validation(
+    documents: DataFrame,
+    media_registry: DataFrame,
+    baseline_profiles: DataFrame | None = None,
+    config: ValidationConfig | None = None,
+) -> dict[str, DataFrame]:
+    """Full validation run. Returns the output DataFrames (lazily built;
+    the caller/runner triggers execution by writing or collecting):
+    ``doc_verdicts``, ``violations``, ``part_verdicts``, ``profiles``."""
+    cfg = config or ValidationConfig()
+    docs = extract_docs(documents)
+    profiles = (
+        baseline_profiles if baseline_profiles is not None else profile.profile(docs, "total")
+    )
+    verdicts = doc_verdicts(documents, media_registry, profiles, cfg)
+    benford = drift.benford_stats(profiles) if cfg.enable_benford else None
+    return {
+        "doc_verdicts": verdicts,
+        "violations": violations_from_verdicts(verdicts),
+        "part_verdicts": partition_verdicts(verdicts, profiles, benford),
+        "profiles": profiles,
+    }

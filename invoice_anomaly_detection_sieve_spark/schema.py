@@ -80,6 +80,7 @@ PROFILES = T.StructType(
         T.StructField("mean", T.DoubleType(), True),
         T.StructField("std", T.DoubleType(), True),
         T.StructField("quantiles", T.ArrayType(T.DoubleType()), True),
+        T.StructField("deciles", T.ArrayType(T.DoubleType()), True),
         T.StructField("digit_hist", T.ArrayType(T.LongType()), True),
         T.StructField("sample_count", T.LongType(), True),
     ]
