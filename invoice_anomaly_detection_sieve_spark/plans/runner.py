@@ -1,0 +1,124 @@
+"""Resumable validation runner: ledger, checkpoint/resume, CLI entry.
+
+The reference's batch path re-scores every invoice serially and leans on
+upsert idempotency for replay safety (scripts/backfill_score.py:16-38,
+OPS-002 requirements.md:325). Here a run is one Spark job over the table;
+the per-partition ledger (≈ audit_log, app/schema.sql:110-118) records
+(run_id, part, rows scanned, constraints evaluated, violations, wall-time)
+and **resume skips partitions already completed for the run_id**: re-runs
+are no-ops for finished partitions, exactly-once for outputs because every
+sink append happens only for still-pending partitions.
+
+Deploy: ``spark-submit --py-files sieve_spark.zip -m
+invoice_anomaly_detection_sieve_spark.plans.runner <args>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..documents import part_of
+from ..sources.catalog import ParquetCatalog
+from . import validate as V
+
+LEDGER_TABLE = "ledger"
+COMPLETE = "COMPLETE"
+
+
+def completed_parts(catalog: ParquetCatalog, run_id: str) -> DataFrame | None:
+    if not catalog.exists(LEDGER_TABLE):
+        return None
+    led = catalog.read(LEDGER_TABLE)
+    return (
+        led.where((F.col("run_id") == run_id) & (F.col("status") == COMPLETE))
+        .select("part")
+        .distinct()
+    )
+
+
+def run(
+    spark: SparkSession,
+    documents: DataFrame,
+    media_registry: DataFrame,
+    catalog: ParquetCatalog,
+    run_id: str | None = None,
+    config: V.ValidationConfig | None = None,
+    baseline_profiles: DataFrame | None = None,
+) -> dict:
+    """Execute (or resume) a validation run; write all outputs through the
+    catalog. Returns run metrics."""
+    run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
+    cfg = config or V.ValidationConfig()
+
+    done = completed_parts(catalog, run_id)
+    pending = documents
+    skipped = 0
+    if done is not None:
+        n_done = done.count()
+        if n_done:
+            pending = documents.withColumn("_part", part_of(F.col("doc_id"))).join(
+                done.withColumnRenamed("part", "_part"), "_part", "left_anti"
+            ).drop("_part")
+            skipped = n_done
+
+    t0 = time.time()
+    out = V.run_validation(pending, media_registry, baseline_profiles, cfg)
+    verdicts = out["doc_verdicts"].cache()
+    n_docs = verdicts.count()  # materialize once; everything below reuses it
+    if n_docs:
+        catalog.append("doc_verdicts", verdicts.withColumn("run_id", F.lit(run_id)))
+        catalog.append("violations", out["violations"].withColumn("run_id", F.lit(run_id)))
+        part_v = out["part_verdicts"].cache()
+        catalog.append("part_verdicts", part_v.withColumn("run_id", F.lit(run_id)))
+        catalog.merge_upsert(
+            "profiles", out["profiles"].withColumn("run_id", F.lit(run_id)), ["part", "field"]
+        )
+        elapsed = time.time() - t0
+        ledger = part_v.select(
+            F.lit(run_id).alias("run_id"),
+            "part",
+            F.col("n_docs").cast("long").alias("rows_scanned"),
+            F.array([F.lit(c) for c in cfg.constraints]).alias("constraints_evaluated"),
+            F.col("n_violations").cast("long").alias("violations"),
+            F.lit(float(elapsed)).alias("wall_time_sec"),
+            F.lit(COMPLETE).alias("status"),
+        )
+        catalog.append(LEDGER_TABLE, ledger)
+        part_v.unpersist()
+    elapsed = time.time() - t0
+    verdicts.unpersist()
+    return {
+        "run_id": run_id,
+        "docs_validated": n_docs,
+        "parts_skipped_resume": skipped,
+        "wall_time_sec": elapsed,
+        "docs_per_sec": (n_docs / elapsed) if elapsed > 0 else 0.0,
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    from ..session import get_spark
+
+    p = argparse.ArgumentParser(description="sieve-spark validation run")
+    p.add_argument("--documents", required=True, help="parquet path of the documents table")
+    p.add_argument("--registry", required=True, help="parquet path of the media registry")
+    p.add_argument("--warehouse", required=True, help="catalog root for outputs")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--cores", default=None)
+    args = p.parse_args(argv)
+
+    spark = get_spark("sieve-validate", cores=args.cores)
+    catalog = ParquetCatalog(spark, args.warehouse)
+    documents = spark.read.parquet(args.documents)
+    registry = spark.read.parquet(args.registry)
+    metrics = run(spark, documents, registry, catalog, run_id=args.run_id)
+    print(metrics)
+
+
+if __name__ == "__main__":
+    main()

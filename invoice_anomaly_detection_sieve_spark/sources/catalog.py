@@ -1,0 +1,134 @@
+"""Parquet-backed table catalog with snapshot + merge semantics.
+
+The north_rule targets Iceberg tables; this sandbox has no Iceberg runtime
+jar, so the engine is format-agnostic behind this thin catalog exposing the
+three Iceberg capabilities it actually uses (SURVEY.md §7.0):
+
+- ``append(name, df)``      ≈ ``df.writeTo(t).append()``
+- ``merge_upsert(...)``     ≈ ``MERGE INTO t USING s ON keys WHEN MATCHED
+  UPDATE ... WHEN NOT MATCHED INSERT`` (S4/S5/S7/S11)
+- snapshot manifest + ``read_since(snapshot)`` ≈ Iceberg incremental reads
+  between snapshots (the checkpoint/resume story, SURVEY.md §2.9)
+
+Layout per table: ``<root>/<name>/data/part-*.parquet`` plus
+``<root>/<name>/snapshots/N.json`` manifests listing the files each
+snapshot added. Appends write new files only (no rewrite); merge rewrites
+the table into a fresh data generation and records a full snapshot.
+On a real deployment this module is swapped for Iceberg catalog calls —
+every caller goes through this API.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class ParquetCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -----------------------------------------------------------
+    def _table_dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _data_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "data")
+
+    def _snap_dir(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "snapshots")
+
+    def exists(self, name: str) -> bool:
+        d = self._data_dir(name)
+        if not os.path.isdir(d):
+            return False
+        for _, _, files in os.walk(d):
+            if any(f.endswith(".parquet") for f in files):
+                return True
+        return False
+
+    def snapshots(self, name: str) -> list[dict]:
+        d = self._snap_dir(name)
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for f in sorted(os.listdir(d), key=lambda x: int(x.split(".")[0])):
+            with open(os.path.join(d, f)) as fh:
+                out.append(json.load(fh))
+        return out
+
+    def latest_snapshot_id(self, name: str) -> int:
+        snaps = self.snapshots(name)
+        return snaps[-1]["id"] if snaps else 0
+
+    def _record_snapshot(self, name: str, files: list[str], op: str) -> int:
+        d = self._snap_dir(name)
+        os.makedirs(d, exist_ok=True)
+        sid = self.latest_snapshot_id(name) + 1
+        manifest = {"id": sid, "op": op, "files": files, "ts": time.time()}
+        tmp = os.path.join(d, f".{sid}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(d, f"{sid}.json"))
+        return sid
+
+    # -- operations ------------------------------------------------------
+    def read(self, name: str) -> DataFrame:
+        # appends land in gen-* subdirs; recursive lookup covers both layouts
+        return self.spark.read.option("recursiveFileLookup", "true").parquet(
+            self._data_dir(name)
+        )
+
+    def append(self, name: str, df: DataFrame) -> int:
+        """Append-only write (S9/S10 decision + audit sinks): stage new
+        files into a unique subdir, then manifest them as one snapshot."""
+        gen = uuid.uuid4().hex[:12]
+        out = os.path.join(self._data_dir(name), f"gen-{gen}")
+        df.write.mode("overwrite").parquet(out)
+        files = [
+            os.path.join(f"gen-{gen}", f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        ]
+        return self._record_snapshot(name, files, "append")
+
+    def overwrite(self, name: str, df: DataFrame) -> int:
+        gen = uuid.uuid4().hex[:12]
+        staged = os.path.join(self._table_dir(name), f"stage-{gen}")
+        df.write.mode("overwrite").parquet(staged)
+        data = self._data_dir(name)
+        backup = os.path.join(self._table_dir(name), f"old-{gen}")
+        if os.path.isdir(data):
+            os.rename(data, backup)
+        os.rename(staged, data)
+        files = [f for f in os.listdir(data) if f.endswith(".parquet")]
+        return self._record_snapshot(name, files, "overwrite")
+
+    def merge_upsert(self, name: str, source: DataFrame, keys: list[str]) -> int:
+        """MERGE semantics (S4/S7): source rows replace same-key target
+        rows; unmatched source rows insert. Implemented as anti-join +
+        union + rewrite (what Iceberg copy-on-write MERGE does)."""
+        if not self.exists(name):
+            return self.overwrite(name, source)
+        target = self.read(name)
+        kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(source, allowMissingColumns=True)
+        return self.overwrite(name, merged)
+
+    def read_since(self, name: str, snapshot_id: int) -> DataFrame:
+        """Incremental read: rows appended strictly after ``snapshot_id``
+        (Iceberg incremental-scan analog; powers resumable runs)."""
+        newer: list[str] = []
+        for snap in self.snapshots(name):
+            if snap["id"] > snapshot_id and snap["op"] == "append":
+                newer.extend(snap["files"])
+        if not newer:
+            return self.read(name).limit(0)
+        paths = [os.path.join(self._data_dir(name), f) for f in newer]
+        return self.spark.read.parquet(*paths)

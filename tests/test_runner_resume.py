@@ -1,0 +1,75 @@
+"""Checkpoint/resume + catalog semantics (SURVEY.md §5 item 4):
+a resumed run with the same run_id must skip completed partitions and add
+nothing; a partial first run must be completed exactly by the second."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_anomaly_detection_sieve_spark.datagen import synthesize_documents
+from invoice_anomaly_detection_sieve_spark.documents import part_of
+from invoice_anomaly_detection_sieve_spark.plans import runner
+from invoice_anomaly_detection_sieve_spark.plans import validate as V
+from invoice_anomaly_detection_sieve_spark.sources.catalog import ParquetCatalog
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    documents, registry, _ = synthesize_documents(spark, n_parts=4, docs_per_part=20, seed=7)
+    return documents.cache(), registry.cache()
+
+
+def test_resume_skips_completed_partitions(spark, tmp_path, corpus):
+    documents, registry = corpus
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    cfg = V.ValidationConfig(dq_as_of="2024-04-01")
+
+    # first run: only partitions P0/P1 (simulates a killed run)
+    part = part_of(F.col("doc_id"))
+    first_half = documents.where(part.isin("P0", "P1"))
+    m1 = runner.run(spark, first_half, registry, catalog, run_id="r1", config=cfg)
+    assert m1["docs_validated"] > 0
+
+    led1 = catalog.read("ledger")
+    assert {r["part"] for r in led1.collect()} == {"P0", "P1"}
+
+    # resumed run over the full table: P0/P1 skipped, P2/P3... completed
+    m2 = runner.run(spark, documents, registry, catalog, run_id="r1", config=cfg)
+    assert m2["parts_skipped_resume"] == 2
+    led2 = catalog.read("ledger").where(F.col("run_id") == "r1")
+    parts = sorted(r["part"] for r in led2.select("part").distinct().collect())
+    # P0-P3 regular partitions + P4 (row-DQ plants land there regardless of n_parts)
+    assert parts == ["P0", "P1", "P2", "P3", "P4"]
+
+    # every partition appears exactly once in the ledger
+    counts = led2.groupBy("part").count().collect()
+    assert all(r["count"] == 1 for r in counts)
+
+    # verdict rows cover each doc exactly once across the two runs
+    verd = catalog.read("doc_verdicts").where(F.col("run_id") == "r1")
+    assert verd.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+    assert verd.count() == documents.count()
+
+    # third run: everything already complete -> no-op
+    m3 = runner.run(spark, documents, registry, catalog, run_id="r1", config=cfg)
+    assert m3["docs_validated"] == 0
+    assert catalog.read("doc_verdicts").where(F.col("run_id") == "r1").count() == documents.count()
+
+
+def test_catalog_merge_and_incremental_read(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    snap1 = cat.append("t", df1)
+    df2 = spark.createDataFrame([("c", 3)], "k string, v int")
+    cat.append("t", df2)
+
+    assert cat.read("t").count() == 3
+    inc = cat.read_since("t", snap1)
+    assert [r["k"] for r in inc.collect()] == ["c"]
+
+    # merge: replace key b, insert d
+    src = spark.createDataFrame([("b", 20), ("d", 4)], "k string, v int")
+    cat.merge_upsert("t", src, ["k"])
+    got = {r["k"]: r["v"] for r in cat.read("t").collect()}
+    assert got == {"a": 1, "b": 20, "c": 3, "d": 4}
