@@ -1,0 +1,615 @@
+"""Driver-contract query registry (SURVEY.md §2 operator coverage).
+
+Each entry pairs a Spark DataFrame query over the deterministic
+``/root/testdata`` tables with a DuckDB oracle SQL producing identical
+column names and values (the driver hashes values order-insensitively with
+columns sorted by name — see __spark_entry__.py). Doubles are rounded
+identically on both sides; dates/timestamps are emitted as strings so the
+two engines hash the same bytes.
+
+Non-SQL-expressible kernels (Hungarian pair scoring, MinHash LSH, KS) have
+entries without oracles; the driver records rows-only checks for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import normalize as N
+from ..functions import scoring as S
+from ..operators import blocking
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+def _moment_stats_cents(df, group_col: str, val_col: str):
+    """Per-group n/mean/std via *exact integer-cents* sufficient statistics.
+
+    Cross-engine determinism demands it: float partial sums differ with
+    aggregation order, and DuckDB contracts ``a − b·c`` into an FMA, so any
+    float-side variance formula diverges from Spark at the ULP level. Here
+    n, Σx, Σx² are exact decimals; the only float ops left are divisions
+    and sqrt (both correctly rounded IEEE → bit-identical everywhere).
+    """
+    cents = F.round(F.col(val_col) * 100).cast("decimal(18,0)")
+    g = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count(F.col(val_col)).alias("n"),
+        F.sum(cents).alias("s1"),
+        F.sum(cents * cents).alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1").cast("double") / n / 100.0
+    var_num = (n.cast("decimal(9,0)") * F.col("s2").cast("decimal(29,0)")
+               - F.col("s1").cast("decimal(18,0)") * F.col("s1").cast("decimal(18,0)"))
+    var = F.when(n > 1, var_num.cast("double") / (n * (n - 1)) / 10000.0)
+    std = F.coalesce(F.sqrt(F.greatest(var, F.lit(0.0))), F.lit(0.0))
+    return g, mean, std
+
+
+_SQL_MOMENTS_CENTS = """
+  SELECT {group_col}, count(*) AS cnt, count({val_col}) AS n,
+         sum(CAST(round({val_col} * 100) AS DECIMAL(18,0))) AS s1,
+         sum(CAST(round({val_col} * 100) AS DECIMAL(18,0))
+             * CAST(round({val_col} * 100) AS DECIMAL(18,0))) AS s2
+  FROM {table} GROUP BY 1
+"""
+
+_SQL_MEAN = "CAST(s1 AS DOUBLE) / n / 100.0"
+_SQL_STD = (
+    "coalesce(sqrt(greatest(CAST(CAST(n AS DECIMAL(9,0)) * CAST(s2 AS DECIMAL(29,0))"
+    " - CAST(s1 AS DECIMAL(18,0)) * CAST(s1 AS DECIMAL(18,0)) AS DOUBLE)"
+    " / nullif(n * (n - 1), 0) / 10000.0, 0.0)), 0.0)"
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / point lookups
+# ---------------------------------------------------------------------------
+
+
+def q_point_lookup(spark, sf_dir):
+    """S2: key-predicate scan with projection pushdown (app/main.py:35-47)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.where(F.col("o_orderkey") % 1000 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            _r(F.col("o_totalprice"), 2).alias("total"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
+
+
+SQL_POINT_LOOKUP = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders WHERE o_orderkey % 1000 = 0
+"""
+
+# ---------------------------------------------------------------------------
+# §2.2 normalization expressions
+# ---------------------------------------------------------------------------
+
+
+def q_invnum_norm(spark, sf_dir):
+    """F1 (app/normalization.py:14-21) applied to synthetic raw numbers."""
+    o = _t(spark, sf_dir, "orders")
+    raw = F.concat(F.lit(" inv-000"), F.col("o_orderkey").cast("string"), F.lit(" "))
+    return o.select("o_orderkey", raw.alias("raw"), N.invnum_norm(raw).alias("invnum_norm"))
+
+
+SQL_INVNUM_NORM = """
+WITH s AS (
+  SELECT o_orderkey, ' inv-000' || CAST(o_orderkey AS VARCHAR) || ' ' AS raw FROM orders
+), n AS (
+  SELECT o_orderkey, raw,
+         regexp_replace(regexp_replace(regexp_replace(upper(trim(raw)),
+           '[\\s\\-_/]', '', 'g'), '^(INVOICE|INV|BILL)', ''), '^0+', '') AS x
+  FROM s
+)
+SELECT o_orderkey, raw, CASE WHEN x = '' THEN '0' ELSE x END AS invnum_norm FROM n
+"""
+
+
+def q_desc_norm(spark, sf_dir):
+    """F2 (app/normalization.py:24-30) over the documents text column."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", N.desc_norm(F.col("text")).alias("desc_norm"))
+
+
+SQL_DESC_NORM = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+            '\\s+', ' ', 'g')) AS desc_norm
+FROM documents
+"""
+
+
+def q_mask_hash(spark, sf_dir):
+    """F3+F4 (app/normalization.py:33-49): masked last4 + sha256 key."""
+    c = _t(spark, sf_dir, "customer")
+    acct = F.concat(F.col("c_name"), F.lit("-"), F.col("c_custkey").cast("string"))
+    return c.select(
+        "c_custkey",
+        N.mask_account_last4(acct).alias("masked"),
+        N.hash_account(acct).alias("acct_hash"),
+    )
+
+
+SQL_MASK_HASH = """
+WITH s AS (SELECT c_custkey, c_name || '-' || CAST(c_custkey AS VARCHAR) AS acct FROM customer),
+d AS (SELECT c_custkey, acct, regexp_replace(acct, '[^0-9]', '', 'g') AS digits FROM s)
+SELECT c_custkey,
+       CASE WHEN acct IS NULL OR acct = '' THEN NULL
+            WHEN digits = '' THEN '****'
+            ELSE '****' || CASE WHEN length(digits) >= 4
+                                THEN substr(digits, length(digits) - 3, 4)
+                                ELSE digits END
+       END AS masked,
+       CASE WHEN acct IS NULL OR acct = '' THEN NULL ELSE sha256(acct) END AS acct_hash
+FROM d
+"""
+
+
+def q_ngram_set_size(spark, sf_dir):
+    """F7 (app/main.py:205-208): distinct char-3-gram set size per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(N.char_ngram_set(F.col("text"))).alias("n_grams")
+    )
+
+
+SQL_NGRAM_SET_SIZE = """
+SELECT doc_id,
+       CASE WHEN length(text) >= 3
+            THEN len(list_distinct(list_transform(
+                   generate_series(1, length(text) - 2), i -> substr(text, i, 3))))
+            ELSE 0 END AS n_grams
+FROM documents
+"""
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def _orders_as_docs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    okey = F.col("o_orderkey").cast("string")
+    ckey = F.col("o_custkey").cast("string")
+    return o.select(
+        F.concat(F.lit("C"), ckey).alias("part"),
+        F.concat(F.lit("C"), ckey, F.lit("-O"), okey).alias("doc_id"),
+        okey.alias("invnum_norm"),
+        F.concat(F.lit("PO-"), ckey, F.lit("-"), F.pmod(F.col("o_orderkey"), F.lit(7)).cast("string")).alias("po"),
+        F.col("o_totalprice").alias("total"),
+        F.col("o_orderdate").cast("date").alias("date"),
+        F.concat(F.lit("M"), F.pmod(F.col("o_orderkey"), F.lit(499)).cast("string")).alias("media_key"),
+    )
+
+
+def q_blocking_pairs(spark, sf_dir):
+    """J1 (app/retrieval.py:12-48): union-of-blocks self-join with the
+    deterministic per-doc priority cap (BR-004)."""
+    docs = _orders_as_docs(spark, sf_dir)
+    return blocking.candidate_pairs(docs, cap=200, max_key_fanout=None).select(
+        "part", "a_doc_id", "b_doc_id", "block_priority"
+    )
+
+
+SQL_BLOCKING_PAIRS = """
+WITH base AS (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS part,
+         'C' || CAST(o_custkey AS VARCHAR) || '-O' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+         CAST(o_orderkey AS VARCHAR) AS invnum_norm,
+         'PO-' || CAST(o_custkey AS VARCHAR) || '-' || CAST(o_orderkey % 7 AS VARCHAR) AS po,
+         o_totalprice AS total,
+         CAST(o_orderdate AS DATE) AS dt,
+         'M' || CAST(o_orderkey % 499 AS VARCHAR) AS media_key
+  FROM orders
+), keys AS (
+  SELECT part, doc_id,
+         'T|' || CAST(round(total, 2) AS VARCHAR) || '|' || strftime(date_trunc('month', dt), '%Y-%m') AS bkey,
+         4 AS pri
+  FROM base WHERE total IS NOT NULL AND dt IS NOT NULL
+  UNION ALL
+  SELECT part, doc_id, 'P|' || po, 3 FROM base WHERE po IS NOT NULL AND po <> ''
+  UNION ALL
+  SELECT part, doc_id, 'N|' || invnum_norm, 1 FROM base WHERE invnum_norm IS NOT NULL
+  UNION ALL
+  SELECT part, doc_id, 'M|' || media_key, 2 FROM base WHERE media_key IS NOT NULL
+), pairs AS (
+  SELECT a.part, a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, min(a.pri) AS block_priority
+  FROM keys a JOIN keys b ON a.part = b.part AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+), capped AS (
+  SELECT *, row_number() OVER (PARTITION BY a_doc_id ORDER BY block_priority, b_doc_id) AS rn
+  FROM pairs
+)
+SELECT part, a_doc_id, b_doc_id, block_priority FROM capped WHERE rn <= 200
+"""
+
+
+def q_referential_antijoin(spark, sf_dir):
+    """J3 (app/anomaly.py:45-70): dangling refs via left anti join against
+    a registry (parts with p_size <= 40 play the registered keys)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    registry = p.where(F.col("p_size") <= 40).select("p_partkey")
+    return (
+        li.join(F.broadcast(registry), li["l_partkey"] == registry["p_partkey"], "left_anti")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    )
+
+
+SQL_REFERENTIAL_ANTIJOIN = """
+SELECT l_orderkey, l_linenumber, l_partkey
+FROM lineitem
+WHERE NOT EXISTS (
+  SELECT 1 FROM part WHERE p_size <= 40 AND p_partkey = l_partkey
+)
+"""
+
+
+def q_zscore_outliers(spark, sf_dir):
+    """J5+M5 (app/anomaly.py:72-86): broadcast baseline join + z-score with
+    the degenerate-std fallback and the 2.5 outlier cut."""
+    o = _t(spark, sf_dir, "orders")
+    g, mean, std = _moment_stats_cents(o, "o_custkey", "o_totalprice")
+    baseline = g.select(
+        "o_custkey",
+        mean.alias("bl_mean"),
+        std.alias("bl_std"),
+        F.col("n").alias("bl_n"),
+    )
+    j = o.join(F.broadcast(baseline), "o_custkey")
+    z = S.amount_z(F.col("o_totalprice"), F.col("bl_mean"), F.col("bl_std"), F.col("bl_n"))
+    return j.select("o_orderkey", z.alias("amount_z"), (z >= 2.5).alias("is_outlier"))
+
+
+SQL_ZSCORE_OUTLIERS = f"""
+WITH g AS (
+{_SQL_MOMENTS_CENTS.format(group_col="o_custkey", val_col="o_totalprice", table="orders")}
+), bl AS (
+  SELECT o_custkey, n, {_SQL_MEAN} AS m, {_SQL_STD} AS s
+  FROM g
+), z AS (
+  SELECT o.o_orderkey,
+         CASE WHEN bl.m IS NOT NULL AND bl.s > 0.0
+                THEN abs(o.o_totalprice - bl.m) / bl.s
+              WHEN bl.m IS NOT NULL AND bl.n > 10
+                THEN abs(o.o_totalprice - bl.m) / greatest(abs(bl.m), 1.0)
+              ELSE 0.0 END AS zval
+  FROM orders o JOIN bl ON o.o_custkey = bl.o_custkey
+)
+SELECT o_orderkey, zval AS amount_z, zval >= 2.5 AS is_outlier FROM z
+"""
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_profile_baselines(spark, sf_dir):
+    """A1 (scripts/train_anomaly.py:14-54): per-group mean/std/count with
+    NULL std -> 0, plus null rate.
+
+    mean/std derive from *exact decimal* sufficient statistics (n, Σx, Σx²)
+    so the result is invariant to partial-aggregation order — the same
+    (n, s1, s2) merge formula the salted two-stage profile uses
+    (operators/profile.py:profile_moments_salted). Float-sum
+    nondeterminism would otherwise flip rounded cents between runs.
+    """
+    o = _t(spark, sf_dir, "orders")
+    g, mean, std = _moment_stats_cents(o, "o_custkey", "o_totalprice")
+    # exact decimal sums make the double-typed mean/std bit-identical across
+    # engines; no rounding needed (rounding at a half-boundary is the one
+    # thing the engines disagree on)
+    return g.select(
+        "o_custkey",
+        "cnt",
+        ((F.col("cnt") - F.col("n")) / F.col("cnt")).alias("null_rate"),
+        mean.alias("mean_total"),
+        std.alias("std_total"),
+        F.col("n").alias("sample_count"),
+    )
+
+
+SQL_PROFILE_BASELINES = f"""
+WITH g AS (
+{_SQL_MOMENTS_CENTS.format(group_col="o_custkey", val_col="o_totalprice", table="orders")}
+)
+SELECT o_custkey, cnt,
+       (cnt - n) * 1.0 / cnt AS null_rate,
+       {_SQL_MEAN} AS mean_total,
+       {_SQL_STD} AS std_total,
+       n AS sample_count
+FROM g
+"""
+
+
+def q_benford_digits(spark, sf_dir):
+    """A9 (architecture.md:223 drift monitors): leading-digit histogram."""
+    o = _t(spark, sf_dir, "orders")
+    from ..operators.profile import leading_digit
+
+    return (
+        o.select(leading_digit(F.col("o_totalprice")).alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+SQL_BENFORD_DIGITS = """
+SELECT regexp_extract(CAST(abs(o_totalprice) AS VARCHAR), '[1-9]', 0) AS digit,
+       count(*) AS cnt
+FROM orders GROUP BY 1
+"""
+
+
+def q_nested_line_sum(spark, sf_dir):
+    """A4 (app/features.py:84-87): sum over nested child rows via
+    collect_list + higher-order aggregate (the no-shuffle span-sum path)."""
+    li = _t(spark, sf_dir, "lineitem")
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct(F.col("l_extendedprice").alias("amount"))).alias("lines")
+    )
+    return nested.select(
+        "l_orderkey",
+        _r(
+            F.aggregate(F.col("lines"), F.lit(0.0), lambda acc, x: acc + x["amount"]),
+            2,
+        ).alias("line_sum"),
+        F.size("lines").alias("n_lines"),
+    )
+
+
+SQL_NESTED_LINE_SUM = """
+SELECT l_orderkey, round(sum(l_extendedprice), 2) AS line_sum, count(*) AS n_lines
+FROM lineitem GROUP BY 1
+"""
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / top-k
+# ---------------------------------------------------------------------------
+
+
+def q_topk_per_group(spark, sf_dir):
+    """W1 (app/main.py:305): top-3 per group, deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk", _r(F.col("o_totalprice"), 2).alias("total"))
+    )
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS total FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_latest_per_key(spark, sf_dir):
+    """W2 (app/main.py:352-369): latest row per key."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+SQL_LATEST_PER_KEY = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+# ---------------------------------------------------------------------------
+# §2.6 set ops
+# ---------------------------------------------------------------------------
+
+
+def q_union_dedup(spark, sf_dir):
+    """§2.6: union of two block result sets + dropDuplicates
+    (app/retrieval.py:22-29 OR-blocks ≡ union)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 300000).select("o_orderkey")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return a.unionByName(b).dropDuplicates()
+
+
+SQL_UNION_DEDUP = """
+SELECT DISTINCT o_orderkey FROM (
+  SELECT o_orderkey FROM orders WHERE o_totalprice > 300000
+  UNION ALL
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+"""
+
+# ---------------------------------------------------------------------------
+# §2.8 decisioning
+# ---------------------------------------------------------------------------
+
+
+def q_fuse_decide(spark, sf_dir):
+    """D1+D2 (app/decision.py:7-32): fusion arithmetic + thresholds over
+    deterministic pseudo-probabilities."""
+    o = _t(spark, sf_dir, "orders")
+    dup = (F.col("o_orderkey") % 97) / 96.0
+    text = (F.col("o_orderkey") % 89) / 88.0
+    anom = (F.col("o_orderkey") % 83) / 82.0
+    bank = F.col("o_orderkey") % 11 == 0
+    score = S.fuse_scores(dup, anom, bank, text)
+    return o.select(
+        "o_orderkey",
+        _r(score, 6).alias("risk_score"),
+        S.decide(score).alias("decision"),
+    )
+
+
+SQL_FUSE_DECIDE = """
+WITH p AS (
+  SELECT o_orderkey,
+         (o_orderkey % 97) / 96.0 AS dup,
+         (o_orderkey % 89) / 88.0 AS txt,
+         (o_orderkey % 83) / 82.0 AS anom,
+         (o_orderkey % 11 = 0) AS bank
+  FROM orders
+), s AS (
+  SELECT o_orderkey, bank,
+         (0.7 * dup + 0.2 * greatest(dup, txt) + 0.1 * anom) * 100.0 AS raw
+  FROM p
+), f AS (
+  SELECT o_orderkey,
+         greatest(0.0, least(
+           CASE WHEN bank THEN greatest(least(100.0, raw + 15.0), 80.0) ELSE raw END,
+           100.0)) AS score
+  FROM s
+)
+SELECT o_orderkey, round(score, 6) AS risk_score,
+       CASE WHEN score >= 80.0 THEN 'HOLD'
+            WHEN score >= 50.0 THEN 'REVIEW'
+            ELSE 'PASS' END AS decision
+FROM f
+"""
+
+
+def q_rules_same_po_near_total(spark, sf_dir):
+    """D3 (app/rules.py:15-32) evaluated over joined order pairs."""
+    docs = _orders_as_docs(spark, sf_dir)
+    pairs = blocking.candidate_pairs(docs, cap=50, max_key_fanout=None)
+    a = docs.select(
+        F.col("doc_id").alias("a_doc_id"), F.col("po").alias("a_po"),
+        F.col("total").alias("a_total"), F.col("date").alias("a_date"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("b_doc_id"), F.col("po").alias("b_po"),
+        F.col("total").alias("b_total"), F.col("date").alias("b_date"),
+    )
+    j = pairs.join(a, "a_doc_id").join(b, "b_doc_id")
+    gap = F.abs(F.datediff(F.col("a_date"), F.col("b_date")))
+    return j.select(
+        "a_doc_id",
+        "b_doc_id",
+        S.rule_same_po_near_total(
+            F.col("a_po"), F.col("b_po"), F.col("a_total"), F.col("b_total"), gap
+        ).alias("rule_fires"),
+    )
+
+
+_BLOCKING_CTES = """
+WITH base AS (
+  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS part,
+         'C' || CAST(o_custkey AS VARCHAR) || '-O' || CAST(o_orderkey AS VARCHAR) AS doc_id,
+         CAST(o_orderkey AS VARCHAR) AS invnum_norm,
+         'PO-' || CAST(o_custkey AS VARCHAR) || '-' || CAST(o_orderkey % 7 AS VARCHAR) AS po,
+         o_totalprice AS total,
+         CAST(o_orderdate AS DATE) AS dt,
+         'M' || CAST(o_orderkey % 499 AS VARCHAR) AS media_key
+  FROM orders
+), keys AS (
+  SELECT part, doc_id,
+         'T|' || CAST(round(total, 2) AS VARCHAR) || '|' || strftime(date_trunc('month', dt), '%Y-%m') AS bkey,
+         4 AS pri
+  FROM base WHERE total IS NOT NULL AND dt IS NOT NULL
+  UNION ALL
+  SELECT part, doc_id, 'P|' || po, 3 FROM base WHERE po IS NOT NULL AND po <> ''
+  UNION ALL
+  SELECT part, doc_id, 'N|' || invnum_norm, 1 FROM base WHERE invnum_norm IS NOT NULL
+  UNION ALL
+  SELECT part, doc_id, 'M|' || media_key, 2 FROM base WHERE media_key IS NOT NULL
+), pairs AS (
+  SELECT a.part, a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, min(a.pri) AS block_priority
+  FROM keys a JOIN keys b ON a.part = b.part AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+), capped AS (
+  SELECT *, row_number() OVER (PARTITION BY a_doc_id ORDER BY block_priority, b_doc_id) AS rn
+  FROM pairs
+)
+"""
+
+SQL_RULES_SAME_PO_NEAR_TOTAL = (
+    _BLOCKING_CTES
+    + """
+, joined AS (
+  SELECT c.a_doc_id, c.b_doc_id,
+         a.po AS a_po, b.po AS b_po, a.total AS a_total, b.total AS b_total,
+         abs(datediff('day', b.dt, a.dt)) AS gap
+  FROM capped c
+  JOIN base a ON c.a_doc_id = a.doc_id
+  JOIN base b ON c.b_doc_id = b.doc_id
+  WHERE c.rn <= 50
+)
+SELECT a_doc_id, b_doc_id,
+       (a_po IS NOT NULL AND b_po IS NOT NULL AND a_po <> '' AND b_po <> ''
+        AND a_po = b_po
+        AND abs(a_total - b_total) <= 0.005 * greatest(abs(a_total), 1.0)
+        AND gap <= 30) AS rule_fires
+FROM joined
+"""
+)
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s2_point_lookup": q_point_lookup,
+    "f1_invnum_norm": q_invnum_norm,
+    "f2_desc_norm": q_desc_norm,
+    "f3_f4_mask_hash": q_mask_hash,
+    "f7_ngram_set_size": q_ngram_set_size,
+    "j1_blocking_pairs": q_blocking_pairs,
+    "j3_referential_antijoin": q_referential_antijoin,
+    "j5_m5_zscore_outliers": q_zscore_outliers,
+    "a1_profile_baselines": q_profile_baselines,
+    "a9_benford_digits": q_benford_digits,
+    "a4_nested_line_sum": q_nested_line_sum,
+    "w1_topk_per_group": q_topk_per_group,
+    "w2_latest_per_key": q_latest_per_key,
+    "set_union_dedup": q_union_dedup,
+    "d1_d2_fuse_decide": q_fuse_decide,
+    "d3_rules_same_po_near_total": q_rules_same_po_near_total,
+}
+
+ORACLES: dict[str, str] = {
+    "s2_point_lookup": SQL_POINT_LOOKUP,
+    "f1_invnum_norm": SQL_INVNUM_NORM,
+    "f2_desc_norm": SQL_DESC_NORM,
+    "f3_f4_mask_hash": SQL_MASK_HASH,
+    "f7_ngram_set_size": SQL_NGRAM_SET_SIZE,
+    "j1_blocking_pairs": SQL_BLOCKING_PAIRS,
+    "j3_referential_antijoin": SQL_REFERENTIAL_ANTIJOIN,
+    "j5_m5_zscore_outliers": SQL_ZSCORE_OUTLIERS,
+    "a1_profile_baselines": SQL_PROFILE_BASELINES,
+    "a9_benford_digits": SQL_BENFORD_DIGITS,
+    "a4_nested_line_sum": SQL_NESTED_LINE_SUM,
+    "w1_topk_per_group": SQL_TOPK_PER_GROUP,
+    "w2_latest_per_key": SQL_LATEST_PER_KEY,
+    "set_union_dedup": SQL_UNION_DEDUP,
+    "d1_d2_fuse_decide": SQL_FUSE_DECIDE,
+    "d3_rules_same_po_near_total": SQL_RULES_SAME_PO_NEAR_TOTAL,
+}
