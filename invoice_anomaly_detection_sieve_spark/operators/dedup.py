@@ -1,0 +1,200 @@
+"""Document deduplication operators for training-data pipelines.
+
+Beyond the reference's invoice-level duplicate sieve, a 100 TB corpus
+pipeline needs document dedup. All variants are expressed shuffle-light:
+
+- exact: sha256-hash groupBy (one shuffle on the hash),
+- MinHash + LSH: shingle → K minhashes via ``xxhash64`` with K seeds
+  (column expressions, no Python) → band buckets → self-join per bucket —
+  candidate pairs only, never the full cross product,
+- SimHash: 64-bit signature from weighted gram-bit majority (bitwise
+  column math), near-dups = equal signature or small Hamming distance
+  within a bucket,
+- n-gram Jaccard: exact verification on LSH candidates (array_intersect).
+
+The reference analog is its char-3-gram Dice retrieval + pdf-hash rule
+(app/main.py:290-296, app/rules.py:35-38 shingle-Jaccard >= 0.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import normalize as N
+
+DEFAULT_SHINGLE = 5
+DEFAULT_MINHASHES = 16
+DEFAULT_BANDS = 4  # 16 hashes / 4 bands -> rows-per-band 4
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: every doc annotated with its group
+    size and a keep/drop flag (first id per hash kept)."""
+    h = F.sha2(F.col(text_col), 256)
+    w_cnt = Window.partitionBy("content_hash")
+    w_rank = Window.partitionBy("content_hash").orderBy(id_col)
+    return (
+        docs.withColumn("content_hash", h)
+        .withColumn("dup_count", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("is_kept", F.row_number().over(w_rank) == 1)
+        .select(id_col, "content_hash", "dup_count", "is_kept")
+    )
+
+
+def word_shingles(col: Column, k: int = DEFAULT_SHINGLE) -> Column:
+    """Distinct k-word shingles of normalized text (column-only)."""
+    words = F.split(N.desc_norm(col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(words, " "))))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_MINHASHES) -> Column:
+    """K minhash values: min over shingles of xxhash64(shingle, seed_i).
+
+    Pure column math — xxhash64 runs JVM-side per seed; no UDF.
+    """
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_MINHASHES,
+    bands: int = DEFAULT_BANDS,
+    shingle: int = DEFAULT_SHINGLE,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Plan: one projection (signatures) → explode into ``bands`` bucket keys
+    → self-join on the bucket (single shuffle on band-hash) → dedup pairs.
+    ``max_bucket`` drops degenerate buckets (same guard as the blocking
+    join's max_key_fanout). Output: a_id, b_id (a < b), n_shared_bands.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(word_shingles(F.col(text_col), shingle), num_hashes)
+    with_sig = docs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    band_arr = F.array(
+        *[
+            F.xxhash64(
+                F.array_join(
+                    F.transform(
+                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    ",",
+                ),
+                F.lit(b),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = with_sig.select("_id", F.explode(band_arr).alias("bucket"))
+    counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bc"))
+    buckets = buckets.join(counts.where(F.col("_bc") <= max_bucket), "bucket").drop("_bc")
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def ngram_jaccard(a_grams: Column, b_grams: Column) -> Column:
+    """Exact Jaccard on two distinct-gram arrays (app/rules.py:35-38's
+    shingle_jaccard)."""
+    inter = F.size(F.array_intersect(a_grams, b_grams))
+    union = F.size(F.array_union(a_grams, b_grams))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    **lsh_kwargs,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact shingle Jaccard.
+
+    The scale path: LSH bounds the candidate set, the exact check runs
+    only on candidates (join back to per-doc shingle arrays).
+    """
+    pairs = minhash_lsh_pairs(docs, text_col, id_col, **lsh_kwargs)
+    shingles = docs.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), lsh_kwargs.get("shingle", DEFAULT_SHINGLE)).alias("_sh"),
+    )
+    a = shingles.select(F.col("_id").alias("a_id"), F.col("_sh").alias("a_sh"))
+    b = shingles.select(F.col("_id").alias("b_id"), F.col("_sh").alias("b_sh"))
+    j = pairs.join(a, "a_id").join(b, "b_id")
+    return (
+        j.withColumn("jaccard", ngram_jaccard(F.col("a_sh"), F.col("b_sh")))
+        .where(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard", "n_shared_bands")
+    )
+
+
+def simhash64(col: Column, shingle: int = 3) -> Column:
+    """64-bit SimHash of the text's char-n-gram set, bitwise column math.
+
+    Bit i of the signature is the majority vote of bit i over the grams'
+    xxhash64 values: set iff more than half the grams have it set
+    (signed-sum > 0 ⟺ 2·count_set > n). Unrolled into 64 JVM-side
+    filter/size expressions over the gram-hash array — no UDF, no shuffle.
+    """
+    grams = N.char_ngram_set(N.desc_norm(col), shingle)
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n = F.size(hashes)
+
+    def bit_is_set(h: Column, i: int) -> Column:
+        if i == 63:
+            return h < 0  # sign bit
+        return h.bitwiseAND(F.lit(1 << i)) != 0
+
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        count_set = F.size(F.filter(hashes, lambda h: bit_is_set(h, i)))
+        mask = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(count_set * 2 > n, mask).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs bucketed by signature prefix (docs whose
+    signatures agree on the top ``prefix_bits`` are join candidates;
+    rotate-bucket variants can widen recall). Output: a_id, b_id, hamming."""
+    sig = docs.select(
+        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
+    ).withColumn("_bucket", F.shiftrightunsigned(F.col("_sig"), 64 - prefix_bits))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "_bucket")
+        .where(F.col("a._id") < F.col("b._id"))
+        .withColumn("hamming", hamming64(F.col("a._sig"), F.col("b._sig")))
+        .where(F.col("hamming") <= max_hamming)
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"), "hamming")
+    )

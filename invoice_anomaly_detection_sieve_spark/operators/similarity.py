@@ -1,0 +1,149 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths over ``embeddings(vec_id, embedding array<float>, label)``:
+
+- brute-force cosine top-k (the correctness baseline): broadcast the query
+  set, score every (query, candidate) with a JVM-side ``aggregate``/
+  ``zip_with`` dot product, window top-k. One shuffle (the window).
+- LSH-bucketed (the 100 TB path): random-hyperplane signatures (pure
+  column math on deterministic per-dimension weights derived from
+  xxhash64), candidates share a signature bucket; exact cosine only inside
+  buckets. Recall is tunable by bands/bits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def l2_norm(v: Column) -> Column:
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    ``queries`` is small (broadcast); candidates stream once. Self-matches
+    excluded. Output: query_id, neighbor_id, rank, cos_sim.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 7) -> Column:
+    """Random-hyperplane LSH signature as a ``bits``-bit integer.
+
+    Hyperplane weights are deterministic pseudo-randoms:
+    w(b, i) = (xxhash64(concat(b, ':', i), seed) % 1001) - 500 — integer,
+    reproducible across engines/runs, computed JVM-side.
+    """
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+
+    def bit(b: int) -> Column:
+        s = F.aggregate(
+            F.zip_with(
+                vec,
+                idx,
+                lambda x, i: x.cast("double")
+                * (
+                    F.pmod(
+                        F.xxhash64(F.concat(F.lit(f"{b}:"), i.cast("string")), F.lit(seed)),
+                        F.lit(1001),
+                    ).cast("double")
+                    - 500.0
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        out = out.bitwiseOR(bit(b))
+    return out
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    bits: int = 12,
+    bands: int = 3,
+) -> DataFrame:
+    """Bucketed ANN: exact cosine only among candidates sharing any of
+    ``bands`` signature bands. At corpus scale this replaces the cross
+    join with a shuffle on (band, band_signature)."""
+    bits_per_band = bits // bands
+
+    def with_bands(df, prefix):
+        sig = hyperplane_signature(F.col(vec_col), dim, bits)
+        out = df.select(
+            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"),
+            sig.alias("_sig"),
+        )
+        band_arr = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}|"),
+                    F.shiftrightunsigned(F.col("_sig"), b * bits_per_band)
+                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                    .cast("string"),
+                )
+                for b in range(bands)
+            ]
+        )
+        return out.select(f"{prefix}_id", f"{prefix}_vec", F.explode(band_arr).alias("bucket"))
+
+    qb = with_bands(queries, "query")
+    cb = with_bands(embeddings, "neighbor")
+    cand = (
+        cb.join(qb, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cos_sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
