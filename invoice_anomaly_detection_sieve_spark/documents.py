@@ -82,15 +82,23 @@ def lines_col(spans: Column) -> Column:
 
 
 def extract_docs(documents: DataFrame) -> DataFrame:
-    """One wide projection: documents → typed per-doc columns.
+    """Two staged projections: documents → typed per-doc columns.
 
     Output: part, doc_id, invnum_raw, invnum_norm, po, total, tax_total,
     currency, date, payee, media_key, pdf_hash, media_refs, lines, n_lines,
-    line_amount_sum, desc_blob, grams, spans, span_canon.
+    line_amount_sum, desc_blob, spans, span_canon.
+
+    Staging matters: ``lines`` (the JSON parse) is consumed by four
+    downstream expressions (lines, n_lines, line_amount_sum, desc_blob).
+    Emitting it in a first projection and referencing the *attribute* in a
+    second one makes Catalyst keep the projects separate (CollapseProject
+    refuses to duplicate a non-cheap expression referenced more than once),
+    so the parse runs once per row instead of four times. Higher-order
+    lambdas must always traverse attributes, never expression trees — an
+    expression inside a lambda body is re-evaluated per array element.
     """
     spans = F.col("spans")
-    lines = lines_col(spans)
-    out = documents.select(
+    stage1 = documents.select(
         part_of(F.col("doc_id")).alias("part"),
         F.col("doc_id"),
         first_span_text(spans, "header").alias("invnum_raw"),
@@ -103,17 +111,19 @@ def extract_docs(documents: DataFrame) -> DataFrame:
         first_span_media(spans, "media").alias("media_key"),
         first_span_media(spans, "pdf").alias("pdf_hash"),
         all_media_refs(spans).alias("media_refs"),
-        lines.alias("lines"),
+        lines_col(spans).alias("lines"),
+        F.col("spans"),
+        N.span_canonical(spans).alias("span_canon"),
+    )
+    lines = F.col("lines")  # attribute reference: parsed exactly once
+    return stage1.select(
+        "*",
+        N.invnum_norm(F.col("invnum_raw")).alias("invnum_norm"),
         F.size(lines).alias("n_lines"),
         F.aggregate(
             lines, F.lit(0.0), lambda acc, l: acc + F.coalesce(l["amount"], F.lit(0.0))
         ).alias("line_amount_sum"),
-        F.array_join(F.transform(lines, lambda l: F.coalesce(l["desc_norm"], F.lit(""))), " ").alias(
-            "desc_blob"
-        ),
-        F.col("spans"),
-        N.span_canonical(spans).alias("span_canon"),
+        F.array_join(
+            F.transform(lines, lambda l: F.coalesce(l["desc_norm"], F.lit(""))), " "
+        ).alias("desc_blob"),
     )
-    out = out.withColumn("invnum_norm", N.invnum_norm(F.col("invnum_raw")))
-    out = out.withColumn("grams", N.char_ngram_set(F.col("desc_blob")))
-    return out

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import math
+from functools import lru_cache
 from typing import Any
 
 import numpy as np
@@ -90,6 +91,16 @@ def jaro_winkler_similarity(s1: str, s2: str, prefix_weight: float = 0.1) -> flo
             prefix += 1
         sim += prefix * prefix_weight * (1.0 - sim)
     return float(min(1.0, sim))
+
+
+@lru_cache(maxsize=1 << 16)
+def jw_cached(s1: str, s2: str) -> float:
+    """Memoized symmetric Jaro-Winkler. Line descriptions repeat heavily
+    across candidate pairs, so the executor-local cache removes most of
+    the string-kernel cost of the Hungarian cost matrix."""
+    if s1 > s2:
+        s1, s2 = s2, s1
+    return jaro_winkler_similarity(s1, s2)
 
 
 def linear_sum_assignment(cost: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -210,7 +221,7 @@ def line_assign_features(
     b_descs = [x.get("desc_norm") or "" for x in b_lines]
     for i, da in enumerate(a_descs):
         for j, db in enumerate(b_descs):
-            desc_cost[i, j] = 1.0 - jaro_winkler_similarity(da, db)
+            desc_cost[i, j] = 1.0 - jw_cached(da, db)
 
     cost = alpha * desc_cost + beta * up_term + gamma * qty_term
     row_ind, col_ind = linear_sum_assignment(cost)
@@ -239,9 +250,16 @@ def char_ngrams(text: str, n: int = 3) -> set[str]:
     return {text[i : i + n] for i in range(len(text) - n + 1)}
 
 
+@lru_cache(maxsize=1 << 14)
+def _gram_set_cached(text: str) -> frozenset[str]:
+    return frozenset(char_ngrams(text))
+
+
 def dice_3gram(a_text: str, b_text: str) -> float:
-    """Dice overlap on distinct char-3-gram sets (app/main.py:290-296)."""
-    a, b = char_ngrams(a_text), char_ngrams(b_text)
+    """Dice overlap on distinct char-3-gram sets (app/main.py:290-296).
+    Gram sets are memoized per text — each doc's blob recurs across all
+    its candidate pairs."""
+    a, b = _gram_set_cached(a_text), _gram_set_cached(b_text)
     denom = max(len(a) + len(b), 1)
     return float(min(1.0, 2.0 * len(a & b) / denom))
 

@@ -8,10 +8,10 @@ Candidate pairs from the blocking join are scored with:
 - line-assignment features — Hungarian matching per pair
   (app/features.py:47-101) → scalar pandas UDF returning a struct; cost
   matrices stay inside the worker, bounded by the 200-line cap,
-- ``text_cosine`` — Dice on per-doc distinct 3-gram arrays
-  (app/main.py:290-296). The reference recomputes both docs' gram sets for
-  every pair; here each doc's grams are computed once in the extraction
-  projection and the pair step is a single JVM ``array_intersect``,
+- ``text_cosine`` — Dice on distinct char-3-gram sets of the desc blobs
+  (app/main.py:290-296), computed inside the same kernel (cheaper than a
+  JVM higher-order-function formulation, whose interpreted lambdas
+  re-evaluate the blob per gram),
 - duplicate probability — broadcast logistic weights as a column sigmoid
   (app/duplicate_model.py:51-80).
 
@@ -27,7 +27,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..functions import kernels as K
-from ..functions import normalize as N
 from ..functions import scoring as S
 
 PAIR_PAYLOAD_COLS = [
@@ -42,39 +41,42 @@ PAIR_PAYLOAD_COLS = [
     "media_key",
     "pdf_hash",
     "lines",
-    "grams",
+    "desc_blob",
 ]
 
-LINE_FEATURES_TYPE = (
-    "line_coverage_pct double, unmatched_amount_frac double, "
-    "count_new_items double, median_unit_price_diff double"
+PAIR_KERNEL_TYPE = (
+    "invnum_edit double, text_cosine double, line_coverage_pct double, "
+    "unmatched_amount_frac double, count_new_items double, median_unit_price_diff double"
 )
 
 
-def _jw_distance_fn(a: pd.Series, b: pd.Series) -> pd.Series:
-    """1 − JaroWinkler similarity (app/features.py:39,43-44)."""
-    return pd.Series(
-        [
-            1.0 - K.jaro_winkler_similarity(x or "", y or "")
-            for x, y in zip(a.tolist(), b.tolist())
-        ],
-        dtype="float64",
-    )
+def _pair_kernel_fn(
+    a_inv: pd.Series, b_inv: pd.Series,
+    a_blob: pd.Series, b_blob: pd.Series,
+    a_lines: pd.Series, b_lines: pd.Series,
+) -> pd.DataFrame:
+    """All Python-side pair features in ONE Arrow crossing:
 
-
-def _line_features_fn(a_lines: pd.Series, b_lines: pd.Series) -> pd.DataFrame:
-    """Hungarian line-matching features per pair (app/features.py:47-101).
+    - invnum_edit = 1 − JaroWinkler (app/features.py:39),
+    - text_cosine = Dice over distinct char-3-grams of the ' '-joined
+      desc_norm blobs (app/main.py:290-296),
+    - Hungarian line-assignment features (app/features.py:47-101).
 
     Arrow hands each array<struct> cell to pandas as a list of dicts; the
-    kernel consumes them directly. O(n·m·|desc|) work stays local to the
-    batch — no shuffle, no driver involvement.
+    kernels consume them directly. Work stays batch-local — no shuffle.
     """
-    out = [
-        K.line_assign_features(_as_dicts(a), _as_dicts(b))
-        for a, b in zip(a_lines.tolist(), b_lines.tolist())
-    ]
-    return pd.DataFrame(out, columns=[
-        "line_coverage_pct", "unmatched_amount_frac", "count_new_items", "median_unit_price_diff",
+    rows = []
+    for ai, bi, ab, bb, al, bl in zip(
+        a_inv.tolist(), b_inv.tolist(), a_blob.tolist(), b_blob.tolist(),
+        a_lines.tolist(), b_lines.tolist(),
+    ):
+        feats = K.line_assign_features(_as_dicts(al), _as_dicts(bl))
+        feats["invnum_edit"] = 1.0 - K.jaro_winkler_similarity(ai or "", bi or "")
+        feats["text_cosine"] = K.dice_3gram(ab or "", bb or "")
+        rows.append(feats)
+    return pd.DataFrame(rows, columns=[
+        "invnum_edit", "text_cosine", "line_coverage_pct",
+        "unmatched_amount_frac", "count_new_items", "median_unit_price_diff",
     ])
 
 
@@ -85,20 +87,14 @@ def _as_dicts(cell) -> list[dict]:
 
 
 # pandas_udf parses its DDL return type against the active session, so the
-# udf objects are created lazily on first use.
+# udf object is created lazily on first use.
 _UDF_CACHE: dict[str, object] = {}
 
 
-def jw_distance(a, b):
-    if "jw" not in _UDF_CACHE:
-        _UDF_CACHE["jw"] = pandas_udf(_jw_distance_fn, "double")
-    return _UDF_CACHE["jw"](a, b)
-
-
-def line_features(a, b):
-    if "lf" not in _UDF_CACHE:
-        _UDF_CACHE["lf"] = pandas_udf(_line_features_fn, LINE_FEATURES_TYPE)
-    return _UDF_CACHE["lf"](a, b)
+def pair_kernel(*cols):
+    if "pk" not in _UDF_CACHE:
+        _UDF_CACHE["pk"] = pandas_udf(_pair_kernel_fn, PAIR_KERNEL_TYPE)
+    return _UDF_CACHE["pk"](*cols)
 
 
 def _prefixed(docs: DataFrame, prefix: str) -> DataFrame:
@@ -128,9 +124,11 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         "b_doc_id",
         "block_priority",
         *[expr.alias(name) for name, expr in feats.items()],
-        jw_distance(F.col("a_invnum_norm"), F.col("b_invnum_norm")).alias("invnum_edit"),
-        line_features(F.col("a_lines"), F.col("b_lines")).alias("_lf"),
-        N.dice_overlap(F.col("a_grams"), F.col("b_grams")).alias("text_cosine"),
+        pair_kernel(
+            F.col("a_invnum_norm"), F.col("b_invnum_norm"),
+            F.col("a_desc_blob"), F.col("b_desc_blob"),
+            F.col("a_lines"), F.col("b_lines"),
+        ).alias("_pk"),
         # carried through for rule evaluation on the top-1 row
         F.col("a_invnum_norm"),
         F.col("b_invnum_norm"),
@@ -140,7 +138,7 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("b_total"),
         F.col("a_pdf_hash"),
         F.col("b_pdf_hash"),
-    ).select("*", "_lf.*").drop("_lf")
+    ).select("*", "_pk.*").drop("_pk")
 
     feature_cols = {name: F.col(name) for name in S.FEATURE_ORDER if name != "bank_change_flag"}
     feature_cols["bank_change_flag"] = F.col("bank_change_flag")

@@ -573,6 +573,176 @@ FROM joined
 )
 
 # ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / text analysis / similarity)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup via content hash + keep/drop flag (operators/dedup.py)."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(d, "text", "doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, sha256(text) AS content_hash,
+       count(*) OVER (PARTITION BY sha256(text)) AS dup_count,
+       row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1 AS is_kept
+FROM documents
+"""
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting + ratio features + fingerprint (operators/textstats.py)."""
+    from ..operators import textstats as T
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        T.token_count(c).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(c).cast("long").alias("bpe_tokens"),
+        T.fingerprint(c).alias("doc_fingerprint"),
+        (F.length(F.regexp_replace(c, r"[^0-9]", "")).cast("double")
+         / F.greatest(F.length(c), F.lit(1)).cast("double")).alias("digit_ratio"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id,
+       length(text) AS n_chars,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe_tokens,
+       sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+             '\\s+', ' ', 'g'))) AS doc_fingerprint,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+         / greatest(length(text), 1) AS digit_ratio
+FROM documents
+"""
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (operators/similarity.py).
+
+    Only (query, neighbor, rank) are emitted: the similarity doubles can
+    differ at the ULP between engines (FMA contraction), the ranking
+    cannot unless two candidates tie to ~1e-12.
+    """
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8)
+    return sim.brute_force_topk(e, queries, k=5).select("query_id", "neighbor_id", "rank")
+
+
+SQL_SIM_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, e.embedding) AS sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_benford_stats(spark, sf_dir):
+    """Benford chi²/MAD per group from the profiled digit histogram
+    (operators/drift.py over operators/profile.py)."""
+    from ..operators import drift, profile
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("part"), F.col("o_totalprice").alias("total"),
+        F.col("o_orderkey").cast("string").alias("doc_id"),
+    )
+    prof = profile.profile(o, "total")
+    return drift.benford_stats(prof).select("part", "benford_n", "benford_fail")
+
+
+SQL_BENFORD_STATS = """
+WITH digits AS (
+  SELECT o_orderpriority AS part,
+         regexp_extract(CAST(abs(o_totalprice) AS VARCHAR), '[1-9]', 0) AS d
+  FROM orders
+), hist AS (
+  SELECT part,
+         sum(CASE WHEN d='1' THEN 1 ELSE 0 END) AS d1,
+         sum(CASE WHEN d='2' THEN 1 ELSE 0 END) AS d2,
+         sum(CASE WHEN d='3' THEN 1 ELSE 0 END) AS d3,
+         sum(CASE WHEN d='4' THEN 1 ELSE 0 END) AS d4,
+         sum(CASE WHEN d='5' THEN 1 ELSE 0 END) AS d5,
+         sum(CASE WHEN d='6' THEN 1 ELSE 0 END) AS d6,
+         sum(CASE WHEN d='7' THEN 1 ELSE 0 END) AS d7,
+         sum(CASE WHEN d='8' THEN 1 ELSE 0 END) AS d8,
+         sum(CASE WHEN d='9' THEN 1 ELSE 0 END) AS d9
+  FROM digits GROUP BY 1
+), stats AS (
+  SELECT part, (d1+d2+d3+d4+d5+d6+d7+d8+d9) AS n,
+    ((d1*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(2.0/1.0)) * (d1*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(2.0/1.0)) / log10(2.0/1.0)
+    +(d2*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(3.0/2.0)) * (d2*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(3.0/2.0)) / log10(3.0/2.0)
+    +(d3*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(4.0/3.0)) * (d3*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(4.0/3.0)) / log10(4.0/3.0)
+    +(d4*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(5.0/4.0)) * (d4*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(5.0/4.0)) / log10(5.0/4.0)
+    +(d5*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(6.0/5.0)) * (d5*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(6.0/5.0)) / log10(6.0/5.0)
+    +(d6*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(7.0/6.0)) * (d6*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(7.0/6.0)) / log10(7.0/6.0)
+    +(d7*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(8.0/7.0)) * (d7*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(8.0/7.0)) / log10(8.0/7.0)
+    +(d8*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(9.0/8.0)) * (d8*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(9.0/8.0)) / log10(9.0/8.0)
+    +(d9*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(10.0/9.0)) * (d9*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(10.0/9.0)) / log10(10.0/9.0)
+    ) * (d1+d2+d3+d4+d5+d6+d7+d8+d9) AS chi2
+  FROM hist
+)
+SELECT part, n AS benford_n, chi2 > 26.12 AS benford_fail FROM stats
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language ID heuristic — rows-only check (stopword-rate argmax has
+    no clean SQL oracle)."""
+    from ..operators import textstats as T
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", T.language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates — rows-only (xxhash64 seeds are
+    Spark-specific; verified structurally in tests/test_pipeline_ops.py)."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id")
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash signatures — rows-only (bitwise xxhash64 majority)."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+
+
+def q_ks_drift(spark, sf_dir):
+    """M7: exact two-sample KS per group via applyInPandas — rows-only
+    (grouped-map kernel, not SQL-expressible)."""
+    from ..operators import drift
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("part"), F.col("value").alias("total"),
+        F.col("event_id"),
+    )
+    cur = e.where(F.col("event_id") % 2 == 0)
+    base = e.where(F.col("event_id") % 2 == 1)
+    return drift.ks_2samp(cur, base, "total")
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -593,6 +763,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_union_dedup": q_union_dedup,
     "d1_d2_fuse_decide": q_fuse_decide,
     "d3_rules_same_po_near_total": q_rules_same_po_near_total,
+    "dedup_exact": q_dedup_exact,
+    "txt_stats": q_text_stats,
+    "sim_cosine_topk": q_sim_cosine_topk,
+    "a9b_benford_stats": q_benford_stats,
+    "txt_lang_id": q_lang_id,
+    "dedup_minhash_lsh": q_minhash_lsh,
+    "dedup_simhash": q_simhash,
+    "m7_ks_drift": q_ks_drift,
 }
 
 ORACLES: dict[str, str] = {
@@ -612,4 +790,10 @@ ORACLES: dict[str, str] = {
     "set_union_dedup": SQL_UNION_DEDUP,
     "d1_d2_fuse_decide": SQL_FUSE_DECIDE,
     "d3_rules_same_po_near_total": SQL_RULES_SAME_PO_NEAR_TOTAL,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "txt_stats": SQL_TEXT_STATS,
+    "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "a9b_benford_stats": SQL_BENFORD_STATS,
+    # txt_lang_id / dedup_minhash_lsh / dedup_simhash / m7_ks_drift:
+    # rows-only (non-SQL-expressible kernels)
 }

@@ -52,9 +52,26 @@ def doc_verdicts(
     nightly-baseline analog, scripts/train_anomaly.py); pass a stored
     profiles DataFrame to validate against history instead.
     """
-    cfg = config or ValidationConfig()
-    docs = extract_docs(documents)
+    return doc_verdicts_from_docs(
+        extract_docs(documents), media_registry, baseline_profiles, config
+    )
 
+
+def doc_verdicts_from_docs(
+    docs: DataFrame,
+    media_registry: DataFrame,
+    baseline_profiles: DataFrame | None = None,
+    config: ValidationConfig | None = None,
+) -> DataFrame:
+    """Core verdict DAG over an already-extracted docs DataFrame.
+
+    The extraction is consumed by five branches (profiles, history counts,
+    blocking keys, both sides of the pair-payload join, the anomaly path)
+    — callers validating a whole table should persist/materialize ``docs``
+    first (run_validation does) so the span parse runs once, not per
+    branch.
+    """
+    cfg = config or ValidationConfig()
     profiles = (
         baseline_profiles
         if baseline_profiles is not None
@@ -199,20 +216,30 @@ def run_validation(
     media_registry: DataFrame,
     baseline_profiles: DataFrame | None = None,
     config: ValidationConfig | None = None,
+    persist_extraction: bool = True,
 ) -> dict[str, DataFrame]:
     """Full validation run. Returns the output DataFrames (lazily built;
     the caller/runner triggers execution by writing or collecting):
-    ``doc_verdicts``, ``violations``, ``part_verdicts``, ``profiles``."""
+    ``doc_verdicts``, ``violations``, ``part_verdicts``, ``profiles``.
+
+    The extracted docs table is persisted (MEMORY_AND_DISK) because five
+    DAG branches consume it; at cluster scale the equivalent is
+    materializing the extraction once per run (the catalog's staging
+    table) instead of re-parsing spans per branch.
+    """
     cfg = config or ValidationConfig()
     docs = extract_docs(documents)
+    if persist_extraction:
+        docs = docs.persist()
     profiles = (
         baseline_profiles if baseline_profiles is not None else profile.profile(docs, "total")
     )
-    verdicts = doc_verdicts(documents, media_registry, profiles, cfg)
+    verdicts = doc_verdicts_from_docs(docs, media_registry, profiles, cfg)
     benford = drift.benford_stats(profiles) if cfg.enable_benford else None
     return {
         "doc_verdicts": verdicts,
         "violations": violations_from_verdicts(verdicts),
         "part_verdicts": partition_verdicts(verdicts, profiles, benford),
         "profiles": profiles,
+        "extracted_docs": docs,
     }
