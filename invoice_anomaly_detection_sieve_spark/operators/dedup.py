@@ -43,24 +43,69 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def word_shingles(col: Column, k: int = DEFAULT_SHINGLE) -> Column:
-    """Distinct k-word shingles of normalized text (column-only)."""
+    """Distinct k-word shingles of normalized text (column-only).
+
+    Built by zipping k shifted views of the word array (arrays_zip pads
+    short arrays with null → trailing partial shingles drop out as null
+    joins). The shifted-views formulation matters: indexing the word array
+    from inside a transform lambda would re-evaluate the split per shingle
+    (interpreted HOFs evaluate lambda-captured expressions per element).
+    """
     words = F.split(N.desc_norm(col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(words, " "))))
+    shifted = [F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(0))).alias(f"w{i}")
+               for i in range(k)]
+    zipped = F.arrays_zip(*shifted)
+    sh = F.transform(
+        zipped,
+        lambda s: F.when(
+            s[f"w{k-1}"].isNotNull(),
+            F.concat_ws(" ", *[s[f"w{i}"] for i in range(k)]),
+        ),
+    )
+    full = F.filter(sh, lambda x: x.isNotNull())
+    return F.array_distinct(
+        F.when(F.size(words) >= k, full).otherwise(F.array(F.array_join(words, " ")))
+    )
 
 
 def minhash_signature(shingles: Column, num_hashes: int = DEFAULT_MINHASHES) -> Column:
-    """K minhash values: min over shingles of xxhash64(shingle, seed_i).
+    """K minhash values as an expression (small inputs / tests).
 
-    Pure column math — xxhash64 runs JVM-side per seed; no UDF.
+    At scale prefer ``minhash_signatures`` below: interpreted higher-order
+    functions cost ~µs per element, so K passes over the shingle array per
+    row lose badly to the explode + codegen'd-aggregate formulation.
     """
     return F.array(
         *[
             F.array_min(F.transform(shingles, lambda s: F.xxhash64(s, F.lit(i))))
             for i in range(num_hashes)
         ]
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_MINHASHES,
+    shingle: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Per-doc minhash signature columns h0..h{K-1} via explode + agg.
+
+    The K seeded xxhash64 projections run inside whole-stage codegen over
+    the exploded shingles; partial (map-side) aggregation collapses to one
+    row per doc before the exchange, so the shuffle is O(docs), not
+    O(shingles). Returns (id, h0..h{K-1}).
+    """
+    staged = docs.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle).alias("_sh")
+    )
+    ex = staged.select("_id", F.explode_outer("_sh").alias("_s"))
+    hashed = ex.select(
+        "_id", *[F.xxhash64(F.col("_s"), F.lit(i)).alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return hashed.groupBy("_id").agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
     )
 
 
@@ -81,24 +126,25 @@ def minhash_lsh_pairs(
     join's max_key_fanout). Output: a_id, b_id (a < b), n_shared_bands.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(word_shingles(F.col(text_col), shingle), num_hashes)
-    with_sig = docs.select(F.col(id_col).alias("_id"), sig.alias("_sig"))
+    with_sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle)
     band_arr = F.array(
         *[
             F.xxhash64(
-                F.array_join(
-                    F.transform(
-                        F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
                 ),
                 F.lit(b),
             )
             for b in range(bands)
         ]
     )
-    buckets = with_sig.select("_id", F.explode(band_arr).alias("bucket"))
+    # persist: three consumers (count filter + both self-join sides) would
+    # otherwise re-run the whole shingle/signature pipeline per branch
+    buckets = with_sig.select("_id", F.explode(band_arr).alias("bucket")).persist()
     counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bc"))
     buckets = buckets.join(counts.where(F.col("_bc") <= max_bucket), "bucket").drop("_bc")
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -145,16 +191,15 @@ def near_duplicates(
     )
 
 
-def simhash64(col: Column, shingle: int = 3) -> Column:
-    """64-bit SimHash of the text's char-n-gram set, bitwise column math.
+def simhash64_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from an array<long> of gram hashes (pass an
+    ATTRIBUTE column — the 64 bit-majority expressions each traverse it).
 
     Bit i of the signature is the majority vote of bit i over the grams'
     xxhash64 values: set iff more than half the grams have it set
     (signed-sum > 0 ⟺ 2·count_set > n). Unrolled into 64 JVM-side
-    filter/size expressions over the gram-hash array — no UDF, no shuffle.
+    filter/size expressions — no UDF, no shuffle.
     """
-    grams = N.char_ngram_set(N.desc_norm(col), shingle)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
     n = F.size(hashes)
 
     def bit_is_set(h: Column, i: int) -> Column:
@@ -172,6 +217,48 @@ def simhash64(col: Column, shingle: int = 3) -> Column:
     return sig
 
 
+def with_simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "simhash",
+    shingle: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach a SimHash column via explode + codegen'd aggregation.
+
+    The 64 bit-majority votes become 64 conditional sums over the exploded
+    gram hashes (whole-stage codegen, map-side partial agg ⇒ one row per
+    doc crosses the exchange), then the signature is reassembled with
+    bitwise ORs in a final projection. Orders of magnitude faster than the
+    interpreted higher-order-function formulation on long documents.
+    """
+    staged = docs.select(F.col(id_col).alias("_id"), N.desc_norm(F.col(text_col)).alias("_n"))
+    staged = staged.select("_id", N.char_ngram_set(F.col("_n"), shingle).alias("_g"))
+    ex = staged.select("_id", F.explode_outer("_g").alias("_gram"))
+    h = F.xxhash64(F.col("_gram"))
+    aggs = [F.count(F.col("_gram")).alias("_n")]
+    for i in range(64):
+        bit = (h < 0) if i == 63 else (h.bitwiseAND(F.lit(1 << i)) != 0)
+        aggs.append(F.sum(F.when(F.col("_gram").isNotNull() & bit, 1).otherwise(0)).alias(f"b{i}"))
+    votes = ex.groupBy("_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        mask = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"b{i}") * 2 > F.col("_n"), mask).otherwise(F.lit(0).cast("long"))
+        )
+    sigs = votes.select(F.col("_id"), sig.alias(out_col))
+    return docs.join(sigs, docs[id_col] == sigs["_id"], "left").drop("_id")
+
+
+def simhash64(col: Column, shingle: int = 3) -> Column:
+    """Expression form of SimHash (small inputs / tests): convenient but
+    re-evaluates the gram pipeline inside each bit expression — prefer
+    ``with_simhash`` on DataFrames of any size."""
+    grams = N.char_ngram_set(N.desc_norm(col), shingle)
+    return simhash64_from_hashes(F.transform(grams, lambda g: F.xxhash64(g)))
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
     return F.bit_count(a.bitwiseXOR(b))
@@ -187,9 +274,12 @@ def simhash_near_duplicates(
     """SimHash near-dup pairs bucketed by signature prefix (docs whose
     signatures agree on the top ``prefix_bits`` are join candidates;
     rotate-bucket variants can widen recall). Output: a_id, b_id, hamming."""
-    sig = docs.select(
-        F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig")
-    ).withColumn("_bucket", F.shiftrightunsigned(F.col("_sig"), 64 - prefix_bits))
+    sig = with_simhash(
+        docs.select(F.col(id_col).alias("_docid"), F.col(text_col)),
+        text_col, "_sig", id_col="_docid",
+    ).select(F.col("_docid").alias("_id"), "_sig").withColumn(
+        "_bucket", F.shiftrightunsigned(F.col("_sig"), 64 - prefix_bits)
+    ).persist()  # both self-join sides reuse the signature table
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, "_bucket")

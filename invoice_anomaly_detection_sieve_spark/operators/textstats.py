@@ -108,28 +108,104 @@ def fingerprint(col: Column) -> Column:
 def rolling_fingerprints(col: Column, window: int = 8) -> Column:
     """Winnowing-style fingerprint set: xxhash64 of each ``window``-token
     shingle, keep every hash ≡ 0 (mod 8) — a deterministic sample of the
-    document's local structure for containment detection."""
+    document's local structure for containment detection.
+
+    Shingles come from zipping ``window`` shifted views of the token array
+    (never indexing the token expression inside a lambda — interpreted
+    HOFs re-evaluate captured expressions per element)."""
     toks = tokens(N.desc_norm(col))
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
+    shifted = [
+        F.slice(toks, i + 1, F.greatest(n - i, F.lit(0))).alias(f"t{i}") for i in range(window)
+    ]
+    zipped = F.arrays_zip(*shifted)
     hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.array_join(F.slice(toks, i + 1, window), " "))
+        zipped,
+        lambda s: F.when(
+            s[f"t{window-1}"].isNotNull(),
+            F.xxhash64(F.concat_ws(" ", *[s[f"t{i}"] for i in range(window)])),
+        ),
     )
-    sampled = F.filter(hashes, lambda h: F.pmod(h, F.lit(8)) == 0)
+    sampled = F.filter(hashes, lambda h: h.isNotNull() & (F.pmod(h, F.lit(8)) == 0))
     return F.when(n >= window, F.array_distinct(sampled)).otherwise(
         F.array().cast("array<bigint>")
     )
 
 
-def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Attach the full text-analysis column set."""
+def _score_expr(stop_ratio, mean_wl, punct_ratio, digit_ratio, n_tok):
+    return F.round(
+        F.lit(0.3) * F.least(stop_ratio * 4.0, F.lit(1.0))
+        + F.lit(0.25) * F.when((mean_wl >= 3) & (mean_wl <= 10), 1.0).otherwise(0.3)
+        + F.lit(0.2) * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0)))
+        + F.lit(0.15) * (1.0 - F.least(digit_ratio * 5.0, F.lit(1.0)))
+        + F.lit(0.1) * F.least(n_tok.cast("double") / 50.0, F.lit(1.0)),
+        6,
+    )
+
+
+def with_text_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach the full text-analysis column set — the corpus-scale path.
+
+    Token-derived features come from ONE explode + codegen'd aggregation
+    (map-side partial agg ⇒ one row per doc over the exchange); the
+    char-level ratios and fingerprints are plain regexp projections.
+    Interpreted higher-order functions (µs per array element) are avoided
+    everywhere — on multi-hundred-token documents they are 10-100× slower
+    than this plan.
+    """
     c = F.col(text_col)
-    out = docs
-    for name, expr in quality_features(c).items():
-        out = out.withColumn(name, expr)
-    return (
-        out.withColumn("quality_score", quality_score(c))
-        .withColumn("lang_pred", language_id(c))
-        .withColumn("doc_fingerprint", fingerprint(c))
-        .withColumn("bpe_token_count", bpe_ish_token_count(c))
+    ex = docs.select(F.col(id_col).alias("_id"), F.explode_outer(tokens(c)).alias("_t"))
+    clean = F.lower(F.regexp_replace(F.col("_t"), r"[^a-zA-Z0-9]", ""))
+    aggs = [
+        F.count(F.col("_t")).alias("n_tokens"),
+        F.coalesce(F.sum(F.length(F.col("_t"))), F.lit(0)).alias("_sum_len"),
+    ]
+    for lang, words in STOPWORDS.items():
+        aggs.append(
+            F.sum(F.when(clean.isin(words), 1).otherwise(0)).alias(f"_hits_{lang}")
+        )
+    stats = ex.groupBy("_id").agg(*aggs)
+
+    n_tok = F.col("n_tokens")
+    safe = lambda num: F.when(n_tok > 0, num.cast("double") / n_tok).otherwise(F.lit(0.0))
+    lang_pairs = F.array(
+        *[
+            F.struct(safe(F.col(f"_hits_{lang}")).alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(lang_pairs)
+    stats = stats.select(
+        "_id",
+        "n_tokens",
+        safe(F.col("_sum_len")).alias("mean_word_len"),
+        safe(F.col("_hits_en")).alias("stopword_ratio"),
+        F.when(best["score"] >= 0.02, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+    n_chars = F.length(c)
+    ratio = lambda pat: F.when(
+        n_chars > 0, F.length(F.regexp_replace(c, pat, "")).cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    base = docs.select(
+        "*",
+        n_chars.cast("long").alias("n_chars"),
+        ratio(r"[A-Za-z0-9\s]").alias("punct_ratio"),
+        ratio(r"[^A-Z]").alias("upper_ratio"),
+        ratio(r"[^0-9]").alias("digit_ratio"),
+        fingerprint(c).alias("doc_fingerprint"),
+        bpe_ish_token_count(c).cast("long").alias("bpe_token_count"),
+    )
+    out = base.join(stats, base[id_col] == stats["_id"], "left").drop("_id")
+    return out.withColumn(
+        "quality_score",
+        _score_expr(
+            F.coalesce(F.col("stopword_ratio"), F.lit(0.0)),
+            F.coalesce(F.col("mean_word_len"), F.lit(0.0)),
+            F.col("punct_ratio"),
+            F.col("digit_ratio"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)),
+        ),
     )

@@ -725,7 +725,7 @@ def q_simhash(spark, sf_dir):
     from ..operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", dedup.simhash64(F.col("text")).alias("simhash"))
+    return dedup.with_simhash(d, "text", "simhash").select("doc_id", "simhash")
 
 
 def q_ks_drift(spark, sf_dir):
