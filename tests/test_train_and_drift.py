@@ -1,0 +1,94 @@
+"""Training job (M6), salted profile parity, PSI/KS/Benford drift checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from invoice_anomaly_detection_sieve_spark.datagen import synthesize_documents
+from invoice_anomaly_detection_sieve_spark.documents import extract_docs
+from invoice_anomaly_detection_sieve_spark.operators import drift, profile
+from invoice_anomaly_detection_sieve_spark.plans import train
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    documents, _, _ = synthesize_documents(spark, seed=42)
+    return extract_docs(documents).cache()
+
+
+def test_salted_profile_matches_plain(spark, docs):
+    plain = {r["part"]: r.asDict() for r in profile.profile(docs, "total").collect()}
+    salted = {
+        r["part"]: r.asDict()
+        for r in profile.profile_moments_salted(docs, "total", n_salt=8).collect()
+    }
+    assert set(plain) == set(salted)
+    for part, p in plain.items():
+        s = salted[part]
+        assert p["cnt"] == s["cnt"]
+        assert p["sample_count"] == s["sample_count"]
+        assert abs(p["mean"] - s["mean"]) < 1e-6 * max(abs(p["mean"]), 1.0)
+        assert abs(p["std"] - s["std"]) < 1e-6 * max(abs(p["std"]), 1.0)
+
+
+def test_benford_flags_uniform_partition(spark, docs):
+    prof = profile.profile(docs, "total")
+    ben = {r["part"]: r.asDict() for r in drift.benford_stats(prof).collect()}
+    assert ben["P3"]["benford_fail"] is True  # planted uniform leading digits
+    # log10-uniform partitions conform
+    assert ben["P1"]["benford_fail"] is False
+    assert ben["P5"]["benford_fail"] is False
+
+
+def test_psi_detects_shift(spark, docs):
+    baseline = profile.profile(docs, "total")
+    # current = same data shifted 3x in P1 only
+    shifted = docs.withColumn(
+        "total", F.when(F.col("part") == "P1", F.col("total") * 3.0).otherwise(F.col("total"))
+    )
+    out = {r["part"]: r.asDict() for r in drift.psi(shifted, baseline, "total").collect()}
+    assert out["P1"]["psi"] > drift.PSI_ALERT and out["P1"]["psi_fail"]
+    # unshifted partition against its own deciles: tiny PSI
+    assert out["P0"]["psi"] < 0.1
+
+
+def test_ks_detects_shift(spark, docs):
+    base = docs
+    cur = docs.withColumn(
+        "total", F.when(F.col("part") == "P2", F.col("total") + 500.0).otherwise(F.col("total"))
+    )
+    out = {r["part"]: r.asDict() for r in drift.ks_2samp(cur, base, "total").collect()}
+    assert out["P2"]["ks_stat"] > 0.9  # disjoint shifted distribution
+    assert out["P0"]["ks_stat"] == 0.0  # identical samples
+    assert out["P2"]["n_current"] == out["P2"]["n_baseline"]
+
+
+def test_train_duplicate_model(spark, docs):
+    model = train.train_duplicate_model(docs, cap=50)
+    assert model["n_pairs"] > 100
+    assert 0 < model["n_pos"] < model["n_pairs"]
+    # the heuristic labels are learnable: in-sample AUC far above chance
+    assert model["auc"] > 0.85, model
+    assert set(model["weights"]) == set(train.FEATURE_ORDER)
+
+
+def test_fit_logistic_separable():
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(400, 3)
+    y = (X[:, 0] + 2 * X[:, 1] > 0).astype(float)
+    w, b = train.fit_logistic(X, y)
+    p = 1 / (1 + np.exp(-(X @ w + b)))
+    assert ((p > 0.5) == y).mean() > 0.95
+    assert w[1] > w[2]  # dominant feature learned
+
+
+def test_auc_known_values():
+    import numpy as np
+
+    y = np.array([0, 0, 1, 1], dtype=float)
+    assert train._auc(y, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
+    assert train._auc(y, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
+    assert abs(train._auc(y, np.array([0.5, 0.5, 0.5, 0.5])) - 0.5) < 1e-12
