@@ -98,8 +98,10 @@ def synthesize_documents(
         line_tag: int | None = None,
     ) -> str:
         doc_id = doc_id or f"P{p}-D{seq:05d}"
-        # log10-uniform over 2.5 decades ⇒ Benford-conforming leading digits
-        total = total if total is not None else round(10 ** rng.uniform(1.0, 3.5), 2)
+        # log10-uniform over an integer number of decades ⇒ exactly
+        # Benford-distributed leading digits (a fractional decade would
+        # bias low digits and trip the chi² gate on large partitions)
+        total = total if total is not None else round(10 ** rng.uniform(1.0, 4.0), 2)
         invnum = invnum or f"INV-{p}{seq:04d}"
         po = po or f"PO-{p}-{rng.randint(0, 200)}"
         date = date or (EPOCH + dt.timedelta(days=rng.randint(0, 89))).date()

@@ -92,6 +92,10 @@ def run(
         part_v.unpersist()
     elapsed = time.time() - t0
     verdicts.unpersist()
+    # Drop the run's cached extraction: a later resume run over the same
+    # table paths would otherwise plan-match this cache entry and silently
+    # reuse the PREVIOUS run's pending-partition subset.
+    out["extracted_docs"].unpersist()
     return {
         "run_id": run_id,
         "docs_validated": n_docs,
