@@ -52,7 +52,9 @@ def materialize_inputs(spark, sf_dir: str) -> tuple[str, str, float]:
     if os.path.isdir(docs_path) and os.path.isdir(reg_path):
         return docs_path, reg_path, 0.0
     t0 = time.time()
-    docs_from_tpch(spark, sf_dir).write.mode("overwrite").parquet(docs_path)
+    # explicit repartition: AQE would otherwise coalesce the write to ONE
+    # file, making every downstream scan a single task at any core count
+    docs_from_tpch(spark, sf_dir).repartition(64).write.mode("overwrite").parquet(docs_path)
     registry_from_tpch(spark).write.mode("overwrite").parquet(reg_path)
     return docs_path, reg_path, time.time() - t0
 

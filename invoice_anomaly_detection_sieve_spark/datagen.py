@@ -313,6 +313,42 @@ def docs_from_tpch(
     return originals.unionByName(clones)
 
 
+def replicate_documents(documents: DataFrame, times: int) -> DataFrame:
+    """Scale a documents table ×``times`` for scaling measurements.
+
+    Each replica gets a distinct doc_id suffix AND perturbed identity spans
+    (header/po/media texts tagged per replica) so replicas do not collide
+    in the blocking keys — pair volume stays linear in the corpus size,
+    matching a genuinely larger corpus rather than a duplicate-storm.
+    The derived partition key (doc_id prefix) is preserved.
+    """
+    if times <= 1:
+        return documents
+    rep = documents.select(
+        "doc_id", "spans", F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("_r")
+    )
+    tag = F.col("_r").cast("string")
+    perturbed = F.transform(
+        F.col("spans"),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(
+                s["kind"].isin("header", "po"), F.concat(s["text"], F.lit("Q"), tag)
+            ).otherwise(s["text"]).alias("text"),
+            F.when(
+                s["kind"].isin("media", "pdf") & s["media_ref"].isNotNull(),
+                F.concat(s["media_ref"], F.lit("Q"), tag),
+            ).otherwise(s["media_ref"]).alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return rep.select(
+        F.when(F.col("_r") == 0, F.col("doc_id"))
+        .otherwise(F.concat(F.col("doc_id"), F.lit("Q"), tag)).alias("doc_id"),
+        F.when(F.col("_r") == 0, F.col("spans")).otherwise(perturbed).alias("spans"),
+    )
+
+
 def registry_from_tpch(spark: SparkSession, media_pool: int = 499, dangling_mod: int = 19) -> DataFrame:
     """Media registry for the TPC-H adapter: keys M0..M{pool-1} except
     every ``dangling_mod``-th (those stay unregistered ⇒ referential

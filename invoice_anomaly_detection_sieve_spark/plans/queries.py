@@ -343,6 +343,24 @@ FROM g
 """
 
 
+def q_exact_median(spark, sf_dir):
+    """A3 (implementation.md:782-796): exact per-group median
+    (PERCENTILE_CONT semantics — linear interpolation)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        # round(4): the engines may FMA-fuse the interpolation differently
+        # at the last ULP; 1e-4 absolute is far above that
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_total"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+SQL_EXACT_MEDIAN = """
+SELECT o_custkey, round(quantile_cont(o_totalprice, 0.5), 4) AS median_total, count(*) AS cnt
+FROM orders GROUP BY 1
+"""
+
+
 def q_benford_digits(spark, sf_dir):
     """A9 (architecture.md:223 drift monitors): leading-digit histogram."""
     o = _t(spark, sf_dir, "orders")
@@ -756,6 +774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j3_referential_antijoin": q_referential_antijoin,
     "j5_m5_zscore_outliers": q_zscore_outliers,
     "a1_profile_baselines": q_profile_baselines,
+    "a3_exact_median": q_exact_median,
     "a9_benford_digits": q_benford_digits,
     "a4_nested_line_sum": q_nested_line_sum,
     "w1_topk_per_group": q_topk_per_group,
@@ -783,6 +802,7 @@ ORACLES: dict[str, str] = {
     "j3_referential_antijoin": SQL_REFERENTIAL_ANTIJOIN,
     "j5_m5_zscore_outliers": SQL_ZSCORE_OUTLIERS,
     "a1_profile_baselines": SQL_PROFILE_BASELINES,
+    "a3_exact_median": SQL_EXACT_MEDIAN,
     "a9_benford_digits": SQL_BENFORD_DIGITS,
     "a4_nested_line_sum": SQL_NESTED_LINE_SUM,
     "w1_topk_per_group": SQL_TOPK_PER_GROUP,

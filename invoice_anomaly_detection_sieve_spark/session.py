@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # nested span documents compress ~10x: a default 128MB split can
+        # explode to >1GB in memory and starves read parallelism on small
+        # tables; 32MB keeps scan tasks plentiful and spill-safe
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SIEVE_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
