@@ -85,6 +85,13 @@ def test_plan_blocking_has_single_pair_shuffle(spark, tpch_docs):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_plan_whole_stage_codegen_in_extraction(spark, tpch_docs):
-    plan = tpch_docs._jdf.queryExecution().executedPlan().toString()
-    assert "WholeStageCodegen" in plan
+def test_plan_extraction_is_shuffle_free(spark):
+    # extraction over a stored documents table must be a pure projection
+    # pipeline: zero exchanges (the datagen's groupBy/join is upstream of
+    # the stored table, so read it from a DataFrame source directly)
+    from invoice_anomaly_detection_sieve_spark.documents import extract_docs
+    from invoice_anomaly_detection_sieve_spark.schema import DOCUMENTS
+
+    raw = spark.createDataFrame([], DOCUMENTS)
+    plan = extract_docs(raw)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:2000]
