@@ -746,6 +746,20 @@ def q_simhash(spark, sf_dir):
     return dedup.with_simhash(d, "text", "simhash").select("doc_id", "simhash")
 
 
+def q_psi_drift(spark, sf_dir):
+    """M7: PSI of event values vs baseline deciles — rows-only
+    (percentile_approx sketch edges are engine-specific)."""
+    from ..operators import drift, profile
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("part"), F.col("value").alias("total"),
+        F.col("event_id").alias("doc_id"),
+    )
+    baseline = profile.profile(e.where(F.col("doc_id") % 2 == 1), "total")
+    current = e.where(F.col("doc_id") % 2 == 0)
+    return drift.psi(current, baseline, "total")
+
+
 def q_ks_drift(spark, sf_dir):
     """M7: exact two-sample KS per group via applyInPandas — rows-only
     (grouped-map kernel, not SQL-expressible)."""
@@ -790,6 +804,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
     "m7_ks_drift": q_ks_drift,
+    "m7_psi_drift": q_psi_drift,
 }
 
 ORACLES: dict[str, str] = {
