@@ -674,7 +674,13 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
 
 def q_benford_stats(spark, sf_dir):
     """Benford chi²/MAD per group from the profiled digit histogram
-    (operators/drift.py over operators/profile.py)."""
+    (operators/drift.py over operators/profile.py).
+
+    chi²/MAD are emitted rounded to 6 decimals; the oracle inlines the SAME
+    Python-computed float literals for the expected Benford proportions
+    (``drift.BENFORD_EXPECTED``) that the Spark expression bakes in via
+    ``F.lit`` — DuckDB's own log10() can differ from Python's math.log10 at
+    the last ULP, which is exactly what flipped the round-1 hash."""
     from ..operators import drift, profile
 
     o = _t(spark, sf_dir, "orders").select(
@@ -682,42 +688,66 @@ def q_benford_stats(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("doc_id"),
     )
     prof = profile.profile(o, "total")
-    return drift.benford_stats(prof).select("part", "benford_n", "benford_fail")
+    return drift.benford_stats(prof).select(
+        "part",
+        "benford_n",
+        _r(F.col("benford_chi2"), 6).alias("benford_chi2_r"),
+        _r(F.col("benford_mad"), 6).alias("benford_mad_r"),
+        "benford_fail",
+    )
 
 
-SQL_BENFORD_STATS = """
+def _sql_benford_stats() -> str:
+    """DuckDB oracle mirroring drift.benford_stats term by term.
+
+    Association order matches the Spark left-folds exactly: n = Σ counts,
+    p_d = count_d / greatest(n, 1.0), chi² = (t1 + … + t9)·n with
+    t_d = (p_d − E_d)²/E_d, mad = (|p_1−E_1| + … + |p_9−E_9|)/9. The E_d
+    are inlined Python floats (same bits as the Spark literals), so every
+    double op is correctly-rounded-identical across engines."""
+    from ..operators.drift import BENFORD_CHI2_ALERT, BENFORD_EXPECTED
+
+    digit_counts = ", ".join(
+        f"sum(CASE WHEN d='{d}' THEN 1 ELSE 0 END) AS d{d}" for d in range(1, 10)
+    )
+    n_sum = " + ".join(f"d{d}" for d in range(1, 10))
+    chi_terms = " + ".join(
+        f"((CAST(d{d} AS DOUBLE) / nn - {BENFORD_EXPECTED[d-1]!r})"
+        f" * (CAST(d{d} AS DOUBLE) / nn - {BENFORD_EXPECTED[d-1]!r})"
+        f" / {BENFORD_EXPECTED[d-1]!r})"
+        for d in range(1, 10)
+    )
+    mad_terms = " + ".join(
+        f"abs(CAST(d{d} AS DOUBLE) / nn - {BENFORD_EXPECTED[d-1]!r})" for d in range(1, 10)
+    )
+    return f"""
 WITH digits AS (
   SELECT o_orderpriority AS part,
          regexp_extract(CAST(abs(o_totalprice) AS VARCHAR), '[1-9]', 0) AS d
   FROM orders
 ), hist AS (
-  SELECT part,
-         sum(CASE WHEN d='1' THEN 1 ELSE 0 END) AS d1,
-         sum(CASE WHEN d='2' THEN 1 ELSE 0 END) AS d2,
-         sum(CASE WHEN d='3' THEN 1 ELSE 0 END) AS d3,
-         sum(CASE WHEN d='4' THEN 1 ELSE 0 END) AS d4,
-         sum(CASE WHEN d='5' THEN 1 ELSE 0 END) AS d5,
-         sum(CASE WHEN d='6' THEN 1 ELSE 0 END) AS d6,
-         sum(CASE WHEN d='7' THEN 1 ELSE 0 END) AS d7,
-         sum(CASE WHEN d='8' THEN 1 ELSE 0 END) AS d8,
-         sum(CASE WHEN d='9' THEN 1 ELSE 0 END) AS d9
+  SELECT part, {digit_counts}
   FROM digits GROUP BY 1
-), stats AS (
-  SELECT part, (d1+d2+d3+d4+d5+d6+d7+d8+d9) AS n,
-    ((d1*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(2.0/1.0)) * (d1*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(2.0/1.0)) / log10(2.0/1.0)
-    +(d2*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(3.0/2.0)) * (d2*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(3.0/2.0)) / log10(3.0/2.0)
-    +(d3*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(4.0/3.0)) * (d3*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(4.0/3.0)) / log10(4.0/3.0)
-    +(d4*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(5.0/4.0)) * (d4*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(5.0/4.0)) / log10(5.0/4.0)
-    +(d5*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(6.0/5.0)) * (d5*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(6.0/5.0)) / log10(6.0/5.0)
-    +(d6*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(7.0/6.0)) * (d6*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(7.0/6.0)) / log10(7.0/6.0)
-    +(d7*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(8.0/7.0)) * (d7*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(8.0/7.0)) / log10(8.0/7.0)
-    +(d8*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(9.0/8.0)) * (d8*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(9.0/8.0)) / log10(9.0/8.0)
-    +(d9*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(10.0/9.0)) * (d9*1.0/(d1+d2+d3+d4+d5+d6+d7+d8+d9) - log10(10.0/9.0)) / log10(10.0/9.0)
-    ) * (d1+d2+d3+d4+d5+d6+d7+d8+d9) AS chi2
+), norm AS (
+  SELECT part, CAST({n_sum} AS BIGINT) AS n,
+         greatest(CAST({n_sum} AS DOUBLE), 1.0) AS nn,
+         d1, d2, d3, d4, d5, d6, d7, d8, d9
   FROM hist
+), stats AS (
+  SELECT part, n,
+         ({chi_terms}) * CAST({n_sum} AS DOUBLE) AS chi2,
+         ({mad_terms}) / 9.0 AS mad
+  FROM norm
 )
-SELECT part, n AS benford_n, chi2 > 26.12 AS benford_fail FROM stats
+SELECT part, n AS benford_n,
+       round(chi2, 6) AS benford_chi2_r,
+       round(mad, 6) AS benford_mad_r,
+       chi2 > {BENFORD_CHI2_ALERT!r} AS benford_fail
+FROM stats
 """
+
+
+SQL_BENFORD_STATS = _sql_benford_stats()
 
 
 def q_lang_id(spark, sf_dir):
@@ -747,22 +777,89 @@ def q_simhash(spark, sf_dir):
 
 
 def q_psi_drift(spark, sf_dir):
-    """M7: PSI of event values vs baseline deciles — rows-only
-    (percentile_approx sketch edges are engine-specific)."""
-    from ..operators import drift, profile
+    """M7: PSI of event values vs baseline deciles, oracle-checked.
+
+    The production path bins against the profile's ``percentile_approx``
+    sketch edges (engine-specific); here — the a3_exact_median playbook —
+    the baseline edges are *exact order statistics* (sorted v[⌈n·k/10⌉],
+    pure integer indexing, bit-identical across engines) so drift.psi's
+    output can be compared against a closed-form DuckDB oracle. PSI is
+    rounded to 6 decimals: the Σ(p−0.1)·ln(p/0.1) fold order and ln() ULPs
+    differ between engines."""
+    from ..operators import drift
 
     e = _t(spark, sf_dir, "events").select(
         F.col("event_type").alias("part"), F.col("value").alias("total"),
         F.col("event_id").alias("doc_id"),
     )
-    baseline = profile.profile(e.where(F.col("doc_id") % 2 == 1), "total")
+    base = (
+        e.where((F.col("doc_id") % 2 == 1) & F.col("total").isNotNull())
+        .groupBy("part")
+        .agg(F.sort_array(F.collect_list("total")).alias("_v"))
+    )
+    edges = F.array(
+        *[
+            F.get(F.col("_v"), F.expr(f"CAST((size(_v) * {k} + 9) DIV 10 AS INT) - 1"))
+            for k in range(1, 10)
+        ]
+    )
+    baseline = base.select("part", edges.alias("deciles"))
     current = e.where(F.col("doc_id") % 2 == 0)
-    return drift.psi(current, baseline, "total")
+    out = drift.psi(current, baseline, "total")
+    return out.select("part", _r(F.col("psi"), 6).alias("psi_r"), "psi_fail")
+
+
+def _sql_psi_drift() -> str:
+    """DuckDB PSI oracle: same exact decile edges (1-based list_extract at
+    (n·k+9)//10), same binning (count of edges strictly below the value),
+    same continuity floor and missing-bin term as drift.psi."""
+    import math
+
+    from ..operators.drift import PSI_ALERT
+
+    floor = 1e-4
+    missing_term = (0.0 - 0.1) * math.log(floor / 0.1)  # same Python literal as drift.psi
+    return f"""
+WITH e AS (
+  SELECT event_type AS part, value AS total, event_id AS doc_id FROM events
+), base AS (
+  SELECT part, list_sort(list(total)) AS v
+  FROM e WHERE doc_id % 2 = 1 AND total IS NOT NULL GROUP BY 1
+), edges AS (
+  SELECT part,
+         list_transform(range(1, 10), k -> list_extract(v, (len(v) * k + 9) // 10)) AS ed
+  FROM base
+), binned AS (
+  SELECT c.part, len(list_filter(ed.ed, x -> c.total > x)) AS bin
+  FROM e c JOIN edges ed USING (part)
+  WHERE c.doc_id % 2 = 0 AND c.total IS NOT NULL
+), counts AS (
+  SELECT part, bin, count(*) AS c FROM binned GROUP BY 1, 2
+), tot AS (
+  SELECT part, sum(c) AS n FROM counts GROUP BY 1
+), props AS (
+  SELECT counts.part, CAST(c AS DOUBLE) / n AS p FROM counts JOIN tot USING (part)
+), present AS (
+  SELECT part,
+         sum((p - 0.1) * ln(greatest(p, {floor!r}) / 0.1)) AS psi_present,
+         count(*) AS nbins
+  FROM props GROUP BY 1
+)
+SELECT part,
+       round(psi_present + (10 - nbins) * {missing_term!r}, 6) AS psi_r,
+       (psi_present + (10 - nbins) * {missing_term!r}) > {PSI_ALERT!r} AS psi_fail
+FROM present
+"""
+
+
+SQL_PSI_DRIFT = _sql_psi_drift()
 
 
 def q_ks_drift(spark, sf_dir):
-    """M7: exact two-sample KS per group via applyInPandas — rows-only
-    (grouped-map kernel, not SQL-expressible)."""
+    """M7: exact two-sample KS per group via applyInPandas (grouped-map
+    numpy kernel). Oracle-checked: the statistic is max over the pooled
+    grid of |cc/n_c − cb/n_b| — every operand an exact integer-count
+    division, so the doubles are bit-identical across engines."""
     from ..operators import drift
 
     e = _t(spark, sf_dir, "events").select(
@@ -772,6 +869,31 @@ def q_ks_drift(spark, sf_dir):
     cur = e.where(F.col("event_id") % 2 == 0)
     base = e.where(F.col("event_id") % 2 == 1)
     return drift.ks_2samp(cur, base, "total")
+
+
+SQL_KS_DRIFT = """
+WITH e AS (
+  SELECT event_type AS part, value AS total,
+         CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS ic,
+         CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END AS ib
+  FROM events WHERE value IS NOT NULL
+), cum AS (
+  SELECT part,
+         sum(ic) OVER w AS cc, sum(ib) OVER w AS cb
+  FROM e
+  WINDOW w AS (PARTITION BY part ORDER BY total
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), n AS (
+  SELECT part, CAST(sum(ic) AS BIGINT) AS n_c, CAST(sum(ib) AS BIGINT) AS n_b
+  FROM e GROUP BY 1
+)
+SELECT cum.part,
+       max(abs(CAST(cc AS DOUBLE) / n_c - CAST(cb AS DOUBLE) / n_b)) AS ks_stat,
+       any_value(n_c) AS n_current,
+       any_value(n_b) AS n_baseline
+FROM cum JOIN n USING (part)
+GROUP BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -829,6 +951,9 @@ ORACLES: dict[str, str] = {
     "txt_stats": SQL_TEXT_STATS,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "a9b_benford_stats": SQL_BENFORD_STATS,
-    # txt_lang_id / dedup_minhash_lsh / dedup_simhash / m7_ks_drift:
-    # rows-only (non-SQL-expressible kernels)
+    "m7_psi_drift": SQL_PSI_DRIFT,
+    "m7_ks_drift": SQL_KS_DRIFT,
+    # txt_lang_id / dedup_minhash_lsh / dedup_simhash:
+    # rows-only (non-SQL-expressible kernels: stopword-argmax heuristic,
+    # xxhash64-seeded signatures)
 }
