@@ -317,9 +317,14 @@ def replicate_documents(documents: DataFrame, times: int) -> DataFrame:
     """Scale a documents table ×``times`` for scaling measurements.
 
     Each replica gets a distinct doc_id suffix AND perturbed identity spans
-    (header/po/media texts tagged per replica) so replicas do not collide
-    in the blocking keys — pair volume stays linear in the corpus size,
-    matching a genuinely larger corpus rather than a duplicate-storm.
+    so replicas do not collide in ANY blocking key — pair volume stays
+    linear in the corpus size, matching a genuinely larger corpus rather
+    than a duplicate-storm. header/po/media/pdf texts get a per-replica
+    tag; the amount span shifts by ``replica × 1 cent`` so the
+    T|total|month block key also diverges (replicas of one doc would
+    otherwise form a clique there and pair work would grow quadratically
+    in ``times``). Planted clone/original relationships are preserved
+    within each replica universe: both members shift by the same cents.
     The derived partition key (doc_id prefix) is preserved.
     """
     if times <= 1:
@@ -328,13 +333,19 @@ def replicate_documents(documents: DataFrame, times: int) -> DataFrame:
         "doc_id", "spans", F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("_r")
     )
     tag = F.col("_r").cast("string")
+    cents = F.col("_r").cast("double") * 0.01
     perturbed = F.transform(
         F.col("spans"),
         lambda s: F.struct(
             s["kind"].alias("kind"),
             F.when(
                 s["kind"].isin("header", "po"), F.concat(s["text"], F.lit("Q"), tag)
-            ).otherwise(s["text"]).alias("text"),
+            )
+            .when(
+                s["kind"] == "amount",
+                F.round(s["text"].try_cast("double") + cents, 2).cast("string"),
+            )
+            .otherwise(s["text"]).alias("text"),
             F.when(
                 s["kind"].isin("media", "pdf") & s["media_ref"].isNotNull(),
                 F.concat(s["media_ref"], F.lit("Q"), tag),

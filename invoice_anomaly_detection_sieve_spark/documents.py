@@ -32,9 +32,39 @@ def _offset_cmp(a: Column, b: Column) -> Column:
     return F.when(a["offset"] < b["offset"], -1).when(a["offset"] > b["offset"], 1).otherwise(0)
 
 
+def sorted_spans(spans: Column) -> Column:
+    """Offset-ordered copy of the span array, sorted ONCE with the native
+    struct ordering (offset leads the key struct).
+
+    ``array_sort`` with a lambda comparator evaluates an *interpreted*
+    expression per comparison; extraction needs ordered spans for ~12
+    derived columns, and 12 comparator sorts per row dominated the
+    extraction profile (~70M interpreted evals + transient garbage at
+    sf0.1). One keyed native sort per row, then order-preserving filters,
+    removes all of it. Ties on offset fall back to the remaining span
+    fields — a deterministic total order.
+    """
+    keyed = F.transform(spans, lambda s: F.struct(s["offset"].alias("o"), s.alias("s")))
+    return F.transform(F.sort_array(keyed), lambda x: x["s"])
+
+
 def spans_of_kind(spans: Column, kind: str) -> Column:
     """Offset-ordered spans of one kind."""
     return F.array_sort(F.filter(spans, lambda s: s["kind"] == kind), _offset_cmp)
+
+
+def _kind_of_sorted(ordered: Column, kind: str) -> Column:
+    """Spans of one kind from an already offset-sorted array (filter
+    preserves order — no re-sort)."""
+    return F.filter(ordered, lambda s: s["kind"] == kind)
+
+
+def _first_text_sorted(ordered: Column, kind: str) -> Column:
+    return F.get(_kind_of_sorted(ordered, kind), 0)["text"]
+
+
+def _first_media_sorted(ordered: Column, kind: str) -> Column:
+    return F.get(_kind_of_sorted(ordered, kind), 0)["media_ref"]
 
 
 def first_span_text(spans: Column, kind: str) -> Column:
@@ -68,6 +98,10 @@ def lines_col(spans: Column) -> Column:
     app/main.py:59). ``from_json`` is lenient: junk ⇒ null fields.
     """
     ordered = spans_of_kind(spans, "line")
+    return _lines_from_sorted(ordered)
+
+
+def _lines_from_sorted(ordered: Column) -> Column:
     parsed = F.transform(ordered, lambda s: F.from_json(s["text"], LINE_JSON_SCHEMA))
     return F.transform(
         parsed,
@@ -82,38 +116,48 @@ def lines_col(spans: Column) -> Column:
 
 
 def extract_docs(documents: DataFrame) -> DataFrame:
-    """Two staged projections: documents → typed per-doc columns.
+    """Staged projections: documents → typed per-doc columns.
 
     Output: part, doc_id, invnum_raw, invnum_norm, po, total, tax_total,
     currency, date, payee, media_key, pdf_hash, media_refs, lines, n_lines,
     line_amount_sum, desc_blob, spans, span_canon.
 
-    Staging matters: ``lines`` (the JSON parse) is consumed by four
-    downstream expressions (lines, n_lines, line_amount_sum, desc_blob).
-    Emitting it in a first projection and referencing the *attribute* in a
-    second one makes Catalyst keep the projects separate (CollapseProject
-    refuses to duplicate a non-cheap expression referenced more than once),
-    so the parse runs once per row instead of four times. Higher-order
-    lambdas must always traverse attributes, never expression trees — an
-    expression inside a lambda body is re-evaluated per array element.
+    Staging matters twice over:
+    - stage0 sorts the span array ONCE (``sorted_spans``) and every derived
+      column filters the ordered attribute — order-preserving, no re-sort;
+    - ``lines`` (the JSON parse) is consumed by four downstream
+      expressions; emitting it in one projection and referencing the
+      *attribute* in the next keeps the parse single-run (CollapseProject
+      refuses to duplicate a non-cheap expression referenced more than
+      once). Higher-order lambdas must always traverse attributes, never
+      expression trees — an expression inside a lambda body is
+      re-evaluated per array element.
     """
-    spans = F.col("spans")
-    stage1 = documents.select(
+    stage0 = documents.select(
         part_of(F.col("doc_id")).alias("part"),
         F.col("doc_id"),
-        first_span_text(spans, "header").alias("invnum_raw"),
-        first_span_text(spans, "po").alias("po"),
-        numeric_span_text(spans, "amount").alias("total"),
-        numeric_span_text(spans, "tax").alias("tax_total"),
-        first_span_text(spans, "currency").alias("currency"),
-        F.try_to_timestamp(first_span_text(spans, "date")).cast("date").alias("date"),
-        first_span_text(spans, "payee").alias("payee"),
-        first_span_media(spans, "media").alias("media_key"),
-        first_span_media(spans, "pdf").alias("pdf_hash"),
-        all_media_refs(spans).alias("media_refs"),
-        lines_col(spans).alias("lines"),
         F.col("spans"),
-        N.span_canonical(spans).alias("span_canon"),
+        sorted_spans(F.col("spans")).alias("_ord"),
+    )
+    ordered = F.col("_ord")  # attribute reference: sorted exactly once
+    stage1 = stage0.select(
+        "part",
+        F.col("doc_id"),
+        _first_text_sorted(ordered, "header").alias("invnum_raw"),
+        _first_text_sorted(ordered, "po").alias("po"),
+        _first_text_sorted(ordered, "amount").try_cast("double").alias("total"),
+        _first_text_sorted(ordered, "tax").try_cast("double").alias("tax_total"),
+        _first_text_sorted(ordered, "currency").alias("currency"),
+        F.try_to_timestamp(_first_text_sorted(ordered, "date")).cast("date").alias("date"),
+        _first_text_sorted(ordered, "payee").alias("payee"),
+        _first_media_sorted(ordered, "media").alias("media_key"),
+        _first_media_sorted(ordered, "pdf").alias("pdf_hash"),
+        F.filter(
+            F.transform(ordered, lambda s: s["media_ref"]), lambda r: r.isNotNull()
+        ).alias("media_refs"),
+        _lines_from_sorted(_kind_of_sorted(ordered, "line")).alias("lines"),
+        F.col("spans"),
+        N.span_canonical_sorted(ordered).alias("span_canon"),
     )
     lines = F.col("lines")  # attribute reference: parsed exactly once
     return stage1.select(

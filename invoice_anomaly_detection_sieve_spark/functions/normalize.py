@@ -108,6 +108,12 @@ def span_canonical(spans: Column) -> Column:
     ordered = F.array_sort(
         spans, lambda a, b: F.when(a.offset < b.offset, -1).when(a.offset > b.offset, 1).otherwise(0)
     )
+    return span_canonical_sorted(ordered)
+
+
+def span_canonical_sorted(ordered: Column) -> Column:
+    """``span_canonical`` for an already offset-sorted span array (the
+    extraction sorts once and reuses the ordered array everywhere)."""
     piece = lambda s: F.concat_ws(
         "\x1f",
         s.kind,

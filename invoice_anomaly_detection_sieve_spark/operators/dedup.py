@@ -269,22 +269,57 @@ def simhash_near_duplicates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    prefix_bits: int = 16,
+    bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs bucketed by signature prefix (docs whose
-    signatures agree on the top ``prefix_bits`` are join candidates;
-    rotate-bucket variants can widen recall). Output: a_id, b_id, hamming."""
+    """SimHash near-dup pairs with GUARANTEED recall via banded buckets.
+
+    The signature splits into ``bands`` disjoint bit bands; candidates
+    share at least one exact band. Pigeonhole: any pair within Hamming
+    distance ≤ bands−1 differs in at most bands−1 bands, so some band
+    matches — full recall for ``max_hamming ≤ bands − 1`` (the earlier
+    single-prefix bucketing silently missed near-dups differing inside the
+    prefix). ``bands`` defaults to the smallest divisor of 64 that covers
+    ``max_hamming`` (4 for the default radius 3 ⇒ 16-bit bands). Each doc
+    explodes into ``bands`` bucket rows ⇒ one shuffle on (band, band_bits);
+    pairs deduped before the exact Hamming check.
+    Output: a_id, b_id, hamming.
+    """
+    if bands is None:
+        bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded SimHash guarantees recall only for max_hamming <= bands-1 "
+            f"(got max_hamming={max_hamming}, bands={bands})"
+        )
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
     sig = with_simhash(
         docs.select(F.col(id_col).alias("_docid"), F.col(text_col)),
         text_col, "_sig", id_col="_docid",
-    ).select(F.col("_docid").alias("_id"), "_sig").withColumn(
-        "_bucket", F.shiftrightunsigned(F.col("_sig"), 64 - prefix_bits)
-    ).persist()  # both self-join sides reuse the signature table
-    a, b = sig.alias("a"), sig.alias("b")
+    ).select(F.col("_docid").alias("_id"), "_sig")
+    band_arr = F.array(
+        *[
+            F.concat(
+                F.lit(f"{b}|"),
+                F.shiftrightunsigned(F.col("_sig"), b * width)
+                .bitwiseAND(F.lit(mask))
+                .cast("string"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # both self-join sides reuse the persisted signature+bucket table
+    bucketed = sig.select("_id", "_sig", F.explode(band_arr).alias("_bucket")).persist()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, "_bucket")
         .where(F.col("a._id") < F.col("b._id"))
-        .withColumn("hamming", hamming64(F.col("a._sig"), F.col("b._sig")))
+        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
+                F.col("a._sig").alias("_sa"), F.col("b._sig").alias("_sb"))
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
         .where(F.col("hamming") <= max_hamming)
-        .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"), "hamming")
+        .select("a_id", "b_id", "hamming")
     )

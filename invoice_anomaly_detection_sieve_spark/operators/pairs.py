@@ -21,6 +21,7 @@ the top-1 candidate only (app/main.py:314-321) as window + column exprs.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,9 +41,18 @@ PAIR_PAYLOAD_COLS = [
     "payee",
     "media_key",
     "pdf_hash",
-    "lines",
     "desc_blob",
 ]
+
+# per-line columns shipped as FLAT parallel arrays, not array<struct>: a
+# struct cell crosses Arrow as a Python dict per line (measured ~2.4 ms/pair
+# of pure conversion at sf0.1); flat double arrays arrive as numpy views.
+PAIR_LINE_ARRAYS = {
+    "line_descs": lambda l: l["desc_norm"],
+    "line_qtys": lambda l: l["qty"],
+    "line_ups": lambda l: l["unit_price"],
+    "line_amts": lambda l: l["amount"],
+}
 
 PAIR_KERNEL_TYPE = (
     "invnum_edit double, text_cosine double, line_coverage_pct double, "
@@ -53,37 +63,58 @@ PAIR_KERNEL_TYPE = (
 def _pair_kernel_fn(
     a_inv: pd.Series, b_inv: pd.Series,
     a_blob: pd.Series, b_blob: pd.Series,
-    a_lines: pd.Series, b_lines: pd.Series,
+    a_descs: pd.Series, a_qtys: pd.Series, a_ups: pd.Series, a_amts: pd.Series,
+    b_descs: pd.Series, b_qtys: pd.Series, b_ups: pd.Series, b_amts: pd.Series,
 ) -> pd.DataFrame:
     """All Python-side pair features in ONE Arrow crossing:
 
-    - invnum_edit = 1 − JaroWinkler (app/features.py:39),
+    - invnum_edit = 1 − JaroWinkler (app/features.py:39), memoized per
+      worker (every doc recurs across its ≤200 candidates),
     - text_cosine = Dice over distinct char-3-grams of the ' '-joined
-      desc_norm blobs (app/main.py:290-296),
-    - Hungarian line-assignment features (app/features.py:47-101).
+      desc_norm blobs (app/main.py:290-296), gram sets memoized per text,
+    - Hungarian line-assignment features (app/features.py:47-101) over the
+      flat per-line arrays.
 
-    Arrow hands each array<struct> cell to pandas as a list of dicts; the
-    kernels consume them directly. Work stays batch-local — no shuffle.
+    Work stays batch-local — no shuffle; results land in preallocated
+    numpy columns (no per-row dict churn).
     """
-    rows = []
-    for ai, bi, ab, bb, al, bl in zip(
-        a_inv.tolist(), b_inv.tolist(), a_blob.tolist(), b_blob.tolist(),
-        a_lines.tolist(), b_lines.tolist(),
-    ):
-        feats = K.line_assign_features(_as_dicts(al), _as_dicts(bl))
-        feats["invnum_edit"] = 1.0 - K.jaro_winkler_similarity(ai or "", bi or "")
-        feats["text_cosine"] = K.dice_3gram(ab or "", bb or "")
-        rows.append(feats)
-    return pd.DataFrame(rows, columns=[
+    k = len(a_inv)
+    empty: list = []
+    out = {name: np.empty(k) for name in (
         "invnum_edit", "text_cosine", "line_coverage_pct",
         "unmatched_amount_frac", "count_new_items", "median_unit_price_diff",
-    ])
-
-
-def _as_dicts(cell) -> list[dict]:
-    if cell is None:
-        return []
-    return [dict(x) if not isinstance(x, dict) else x for x in cell]
+    )}
+    # warm the worker-global JW cache with ONE vectorized evaluation of
+    # every distinct string pair this batch needs (invnums + the full
+    # desc-cost grids) — the feature loop below then only does dict hits
+    keys = set()
+    for ai, bi in zip(a_inv.tolist(), b_inv.tolist()):
+        keys.add(K.jw_key(ai or "", bi or ""))
+    for ad, bd in zip(a_descs, b_descs):
+        if ad is None or bd is None or len(ad) == 0 or len(bd) == 0:
+            continue
+        b_clean = [d or "" for d in bd]
+        for da in ad:
+            da = da or ""
+            for db in b_clean:
+                keys.add(K.jw_key(da, db))
+    K.jw_warm_cache(keys)
+    it = zip(
+        a_inv.tolist(), b_inv.tolist(), a_blob.tolist(), b_blob.tolist(),
+        a_descs, a_qtys, a_ups, a_amts, b_descs, b_qtys, b_ups, b_amts,
+    )
+    for i, (ai, bi, ab, bb, ad, aq, au, aa, bd, bq, bu, ba) in enumerate(it):
+        cov, frac, new_items, med = K.line_assign_features_arrays(
+            ad if ad is not None else empty, aq, au, aa,
+            bd if bd is not None else empty, bq, bu, ba,
+        )
+        out["line_coverage_pct"][i] = cov
+        out["unmatched_amount_frac"][i] = frac
+        out["count_new_items"][i] = new_items
+        out["median_unit_price_diff"][i] = med
+        out["invnum_edit"][i] = 1.0 - K.jw_cached(ai or "", bi or "")
+        out["text_cosine"][i] = K.dice_3gram(ab or "", bb or "")
+    return pd.DataFrame(out)
 
 
 # pandas_udf parses its DDL return type against the active session, so the
@@ -98,7 +129,15 @@ def pair_kernel(*cols):
 
 
 def _prefixed(docs: DataFrame, prefix: str) -> DataFrame:
+    """Pair payload projection: scalar header columns plus the per-line
+    flat arrays. The transforms run once per DOC row (the projection sits
+    below the pair join's exchange), not once per pair."""
     sel = [F.col(c).alias(prefix + c) for c in PAIR_PAYLOAD_COLS]
+    lines = F.col("lines")
+    sel += [
+        F.transform(lines, fn).alias(prefix + name)
+        for name, fn in PAIR_LINE_ARRAYS.items()
+    ]
     return docs.select(*sel)
 
 
@@ -127,7 +166,8 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         pair_kernel(
             F.col("a_invnum_norm"), F.col("b_invnum_norm"),
             F.col("a_desc_blob"), F.col("b_desc_blob"),
-            F.col("a_lines"), F.col("b_lines"),
+            *[F.col("a_" + name) for name in PAIR_LINE_ARRAYS],
+            *[F.col("b_" + name) for name in PAIR_LINE_ARRAYS],
         ).alias("_pk"),
         # carried through for rule evaluation on the top-1 row
         F.col("a_invnum_norm"),

@@ -1,0 +1,87 @@
+"""D4 case routing + W6 review-queue ordering.
+
+Reference semantics: every HOLD/REVIEW decision opens (or refreshes) a case
+with a 2-day SLA (``create_or_update_case``, /root/reference/app/case.py:
+13-50: INSERT ... ON CONFLICT DO UPDATE SET status, sla_due, updated_at —
+``created_at`` survives updates). The review queue sorts by risk_score
+descending then SLA aging (UI-001, /root/reference/requirements.md:183).
+
+Divergence (cited): the reference mints ``case_<uuid4>`` ids on the
+app-server; a distributed engine needs ids that are deterministic under
+retry/resume, so case_id = ``case_`` + sha2(doc_id)[:12]. One case per
+document either way (the reference's SELECT-first guarantees that too).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.catalog import ParquetCatalog
+
+CASE_OPEN_DECISIONS = ("HOLD", "REVIEW")  # app/case.py:13
+CASES_TABLE = "cases"
+SLA_DAYS = 2  # app/case.py:44 timedelta(days=2)
+
+
+def open_cases(verdicts: DataFrame, run_ts) -> DataFrame:
+    """Case rows for every verdict that needs manual work."""
+    ts = F.to_timestamp(F.lit(str(run_ts)))
+    return verdicts.where(F.col("decision").isin(*CASE_OPEN_DECISIONS)).select(
+        F.concat(F.lit("case_"), F.substring(F.sha2(F.col("doc_id"), 256), 1, 12)).alias(
+            "case_id"
+        ),
+        "part",
+        "doc_id",
+        F.col("decision"),
+        F.col("risk_score"),
+        F.lit("OPEN").alias("status"),
+        (ts + F.expr(f"INTERVAL {SLA_DAYS} DAYS")).alias("sla_due"),
+        ts.alias("created_at"),
+        ts.alias("updated_at"),
+    )
+
+
+def route_cases(catalog: ParquetCatalog, verdicts: DataFrame, run_ts) -> int:
+    """MERGE the run's open cases into the cases table.
+
+    Existing cases keep their original ``created_at`` (the reference's ON
+    CONFLICT clause updates only status/sla_due/updated_at); everything
+    else is refreshed. Keyed on doc_id — idempotent under re-runs.
+    """
+    fresh = open_cases(verdicts, run_ts)
+    if catalog.exists(CASES_TABLE):
+        existing = catalog.read(CASES_TABLE).select(
+            F.col("doc_id").alias("_doc_id"), F.col("created_at").alias("_created_at")
+        )
+        fresh = (
+            fresh.join(
+                F.broadcast(existing), fresh["doc_id"] == existing["_doc_id"], "left"
+            )
+            .withColumn("created_at", F.coalesce("_created_at", "created_at"))
+            .drop("_doc_id", "_created_at")
+        )
+    # count BEFORE the merge: the merge's overwrite swaps the table's data
+    # files, invalidating this plan's reference to the pre-merge snapshot
+    n = fresh.count()
+    catalog.merge_upsert(CASES_TABLE, fresh, ["doc_id"])
+    return n
+
+
+def review_queue(verdicts: DataFrame, cases: DataFrame | None = None) -> DataFrame:
+    """W6/UI-001: the manual-work queue, sorted by risk_score descending
+    then SLA aging (earliest due first when cases are supplied), with a
+    deterministic doc_id tie-break and an explicit queue_rank.
+    """
+    q = verdicts.where(F.col("decision").isin(*CASE_OPEN_DECISIONS)).select(
+        "part", "doc_id", "decision", "risk_score"
+    )
+    order = [F.desc("risk_score")]
+    if cases is not None:
+        q = q.join(cases.select("doc_id", "sla_due"), "doc_id", "left")
+        order.append(F.asc_nulls_last("sla_due"))
+    order.append(F.asc("doc_id"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(*order)
+    return q.withColumn("queue_rank", F.row_number().over(w)).orderBy("queue_rank")

@@ -590,6 +590,103 @@ FROM joined
 """
 )
 
+def q_config_lookup(spark, sf_dir):
+    """S12 (app/main.py:211-235): config-table lookup with tolerant JSON
+    coercion — bare number, {"value": x} object, quoted string, junk ⇒
+    default. Synthetic configs derived deterministically from region."""
+    from ..sources.configs import coerce_config_value
+
+    r = _t(spark, sf_dir, "region")
+    k = F.col("r_regionkey")
+    num = (k.cast("double") * 7 + 0.25).cast("string")
+    value = (
+        F.when(k % 4 == 0, num)
+        .when(k % 4 == 1, F.concat(F.lit('{"value": '), num, F.lit("}")))
+        .when(k % 4 == 2, F.concat(F.lit('"'), num, F.lit('"')))
+        .otherwise(F.lit('"not-a-number"'))
+    )
+    configs = r.select(
+        F.lit("global").alias("scope"),
+        F.concat(F.lit("k"), k.cast("string")).alias("key"),
+        value.alias("value"),
+    )
+    return configs.select(
+        "key", F.coalesce(coerce_config_value(F.col("value")), F.lit(99.0)).alias("resolved")
+    )
+
+
+SQL_CONFIG_LOOKUP = """
+WITH c AS (
+  SELECT 'k' || CAST(r_regionkey AS VARCHAR) AS key,
+         CASE WHEN r_regionkey % 4 = 0 THEN CAST(r_regionkey * 7 + 0.25 AS VARCHAR)
+              WHEN r_regionkey % 4 = 1 THEN '{"value": ' || CAST(r_regionkey * 7 + 0.25 AS VARCHAR) || '}'
+              WHEN r_regionkey % 4 = 2 THEN '"' || CAST(r_regionkey * 7 + 0.25 AS VARCHAR) || '"'
+              ELSE '"not-a-number"' END AS value
+  FROM region
+)
+SELECT key,
+       coalesce(
+         try_cast(value AS DOUBLE),
+         try_cast(regexp_extract(value, '"value"\\s*:\\s*([-0-9.eE+]+)', 1) AS DOUBLE),
+         CASE WHEN regexp_matches(value, '^".*"$')
+              THEN try_cast(trim(value, '"') AS DOUBLE) END,
+         99.0) AS resolved
+FROM c
+"""
+
+
+def q_review_queue(spark, sf_dir):
+    """W6 (UI-001, requirements.md:183): review queue ordered by
+    risk_score desc with deterministic tie-break, explicit queue_rank."""
+    from .cases import review_queue
+
+    o = _t(spark, sf_dir, "orders")
+    dup = (F.col("o_orderkey") % 97) / 96.0
+    text = (F.col("o_orderkey") % 89) / 88.0
+    anom = (F.col("o_orderkey") % 83) / 82.0
+    bank = F.col("o_orderkey") % 11 == 0
+    score = S.fuse_scores(dup, anom, bank, text)
+    verdicts = o.select(
+        F.col("o_orderpriority").alias("part"),
+        F.col("o_orderkey").cast("string").alias("doc_id"),
+        score.alias("risk_score"),
+        S.decide(score).alias("decision"),
+    )
+    q = review_queue(verdicts)
+    return q.select("doc_id", "decision", _r(F.col("risk_score"), 6).alias("risk_r"), "queue_rank")
+
+
+SQL_REVIEW_QUEUE = """
+WITH p AS (
+  SELECT o_orderkey,
+         (o_orderkey % 97) / 96.0 AS dup,
+         (o_orderkey % 89) / 88.0 AS txt,
+         (o_orderkey % 83) / 82.0 AS anom,
+         (o_orderkey % 11 = 0) AS bank
+  FROM orders
+), s AS (
+  SELECT o_orderkey, bank,
+         (0.7 * dup + 0.2 * greatest(dup, txt) + 0.1 * anom) * 100.0 AS raw
+  FROM p
+), f AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS doc_id,
+         greatest(0.0, least(
+           CASE WHEN bank THEN greatest(least(100.0, raw + 15.0), 80.0) ELSE raw END,
+           100.0)) AS score
+  FROM s
+), v AS (
+  SELECT doc_id, score,
+         CASE WHEN score >= 80.0 THEN 'HOLD'
+              WHEN score >= 50.0 THEN 'REVIEW'
+              ELSE 'PASS' END AS decision
+  FROM f
+)
+SELECT doc_id, decision, round(score, 6) AS risk_r,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS queue_rank
+FROM v WHERE decision IN ('HOLD', 'REVIEW')
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data pipeline operators (dedup / text analysis / similarity)
 # ---------------------------------------------------------------------------
@@ -855,6 +952,20 @@ FROM present
 SQL_PSI_DRIFT = _sql_psi_drift()
 
 
+def q_isolation_forest(spark, sf_dir):
+    """M7 model-based detector (ML-003, requirements.md:132): per-partition
+    isolation forest via applyInPandas — rows-only (random forests have no
+    SQL oracle; determinism + outlier-ranking are pinned by tests)."""
+    from ..operators.mlmodels import isolation_scores
+
+    e = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("part"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.col("value").alias("total"),
+    )
+    return isolation_scores(e)
+
+
 def q_ks_drift(spark, sf_dir):
     """M7: exact two-sample KS per group via applyInPandas (grouped-map
     numpy kernel). Oracle-checked: the statistic is max over the pooled
@@ -918,6 +1029,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_union_dedup": q_union_dedup,
     "d1_d2_fuse_decide": q_fuse_decide,
     "d3_rules_same_po_near_total": q_rules_same_po_near_total,
+    "s12_config_lookup": q_config_lookup,
+    "w6_review_queue": q_review_queue,
     "dedup_exact": q_dedup_exact,
     "txt_stats": q_text_stats,
     "sim_cosine_topk": q_sim_cosine_topk,
@@ -927,6 +1040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_simhash,
     "m7_ks_drift": q_ks_drift,
     "m7_psi_drift": q_psi_drift,
+    "m7_isolation_forest": q_isolation_forest,
 }
 
 ORACLES: dict[str, str] = {
@@ -947,6 +1061,8 @@ ORACLES: dict[str, str] = {
     "set_union_dedup": SQL_UNION_DEDUP,
     "d1_d2_fuse_decide": SQL_FUSE_DECIDE,
     "d3_rules_same_po_near_total": SQL_RULES_SAME_PO_NEAR_TOTAL,
+    "s12_config_lookup": SQL_CONFIG_LOOKUP,
+    "w6_review_queue": SQL_REVIEW_QUEUE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "txt_stats": SQL_TEXT_STATS,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,

