@@ -51,10 +51,24 @@ def first_seen_alerts(observations: DataFrame, watermark: str = "1 hour") -> Dat
     )
 
 
-def sink_registry(updates: DataFrame, catalog, checkpoint_dir: str, table: str = "media_registry"):
+def sink_registry(
+    updates: DataFrame,
+    catalog,
+    checkpoint_dir: str,
+    table: str = "media_registry",
+    buckets: int = 64,
+):
     """foreachBatch sink merging each micro-batch into the catalog —
     idempotent under retries because merge_upsert replaces same-key rows
-    (the Iceberg-MERGE exactly-once pattern)."""
+    (the Iceberg-MERGE exactly-once pattern).
+
+    The registry is laid out in ``buckets`` key-hash buckets: a micro-batch
+    reads ONLY the previous values of the buckets it touches (manual
+    partition pruning) and the merge rewrites only those buckets — per
+    batch the cost is O(touched buckets), not O(registry), the property
+    that keeps a continuously-maintained registry viable at 10^12-doc
+    scale. (Round 1 re-read and rewrote the whole table every batch.)
+    """
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -62,8 +76,15 @@ def sink_registry(updates: DataFrame, catalog, checkpoint_dir: str, table: str =
         merged = batch_df.groupBy("media_key").agg(
             F.min("first_seen").alias("first_seen"), F.max("last_seen").alias("last_seen")
         )
-        if catalog.exists(table):
-            prev = catalog.read(table).select(
+        touched = [
+            r["_b"]
+            for r in merged.select(
+                catalog._bucket_col(["media_key"], buckets).alias("_b")
+            ).distinct().collect()
+        ]
+        prev = catalog.read_buckets(table, touched) if catalog.exists(table) else None
+        if prev is not None:
+            prev = prev.select(
                 "media_key",
                 F.col("first_seen").alias("_pf"),
                 F.col("last_seen").alias("_pl"),
@@ -76,7 +97,7 @@ def sink_registry(updates: DataFrame, catalog, checkpoint_dir: str, table: str =
                     F.greatest("last_seen", "_pl").alias("last_seen"),
                 )
             )
-        catalog.merge_upsert(table, merged, ["media_key"])
+        catalog.merge_upsert(table, merged, ["media_key"], buckets=buckets)
 
     return (
         updates.writeStream.outputMode("update")

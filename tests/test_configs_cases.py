@@ -147,3 +147,43 @@ def test_runner_reads_are_exactly_once_after_retry(spark, tmp_path):
     assert raw > len(clean)  # duplicates really exist in the raw table
     deduped = {r["doc_id"] for r in R.read_run_verdicts(catalog, "run_x").collect()}
     assert deduped == clean  # exactly-once view restored
+
+
+def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """S7 at scale: a key-bucketed MERGE must leave untouched buckets'
+    files byte-identical on disk (O(touched) copy-on-write, not O(table))."""
+    import os
+
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    base = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(200)], "media_key string, v long"
+    )
+    catalog.merge_upsert("reg", base, ["media_key"], buckets=8)
+    assert catalog.read_bucketed("reg").count() == 200
+
+    data = os.path.join(str(tmp_path / "wh"), "reg", "data")
+    def bucket_state():
+        out = {}
+        for b in os.listdir(data):
+            if b.startswith("_bucket="):
+                d = os.path.join(data, b)
+                out[b] = {(f, os.path.getmtime(os.path.join(d, f)))
+                          for f in os.listdir(d) if f.endswith(".parquet")}
+        return out
+    before = bucket_state()
+
+    delta = spark.createDataFrame(
+        [("k1", 111), ("k2", 222), ("new1", 1)], "media_key string, v long"
+    )
+    touched = {r[0] for r in delta.select(
+        ParquetCatalog._bucket_col(["media_key"], 8).alias("b")).distinct().collect()}
+    catalog.merge_upsert("reg", delta, ["media_key"], buckets=8)
+
+    after = bucket_state()
+    got = {r["media_key"]: r["v"] for r in catalog.read_bucketed("reg").collect()}
+    assert len(got) == 201 and got["k1"] == 111 and got["k2"] == 222 and got["new1"] == 1
+    assert got["k5"] == 5  # untouched key survives
+    untouched = [b for b in before if int(b.split("=")[1]) not in touched]
+    assert untouched, "test corpus must leave some buckets untouched"
+    for b in untouched:
+        assert before[b] == after[b], f"untouched bucket {b} was rewritten"
