@@ -12,11 +12,24 @@ from pyspark.sql import functions as F
 
 from ..functions import normalize as N
 
+# most-frequent function words per language (public frequency lists);
+# 16 per language — enough for a high-precision stopword-rate argmax on
+# document-sized text, cheap enough to stay a broadcast literal array
 STOPWORDS = {
-    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
-    "de": ["der", "die", "das", "und", "zu", "ist", "ein", "nicht", "mit", "sich"],
-    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"],
-    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "por", "los"],
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for",
+           "was", "on", "are", "with", "as", "this"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "ein", "nicht", "mit", "sich",
+           "auf", "den", "von", "im", "eine", "auch"],
+    "fr": ["le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans",
+           "les", "des", "il", "ne", "pas", "au"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "por", "los",
+           "se", "del", "las", "con", "una", "para"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "non", "sono", "con",
+           "si", "una", "del", "le", "nel", "della"],
+    "pt": ["o", "de", "a", "e", "que", "do", "da", "em", "um", "para",
+           "com", "os", "uma", "se", "dos", "como"],
+    "nl": ["de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "niet", "met", "aan", "voor", "er"],
 }
 
 
