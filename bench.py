@@ -22,7 +22,7 @@ Methodology:
   channels (at 16+ concurrent workers the shared memory controller, which
   a multi-node cluster does not share, becomes the bottleneck — measured
   analysis in BENCH/BASELINE.md). The scaling corpus is the base table
-  replicated ×SIEVE_SCALE_REPLICAS (default 2, block-key-disjoint so pair
+  replicated ×SIEVE_SCALE_REPLICAS (default 3, block-key-disjoint so pair
   work stays linear) so per-run fixed latency (~5-13 s) is a small
   fraction of the N-level run the way a real long-running corpus would
   amortize it. SIEVE_BENCH_SCALING=0 skips it.
@@ -44,7 +44,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPEATS = int(os.environ.get("SIEVE_BENCH_REPEATS", "2"))
 WORK_DIR = os.environ.get("SIEVE_BENCH_WORKDIR", "/tmp/sieve_bench")
 SCALE_N = int(os.environ.get("SIEVE_SCALE_N", "1"))
-SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "2"))
+SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "3"))
 
 
 def _sf_of(path: str) -> float:
