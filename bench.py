@@ -11,33 +11,44 @@ Methodology:
   (codegen compilation, Python worker pool spin-up, JIT) are one-time —
   a 10^12-doc deployment runs warm by definition;
 - the north_rule scaling criterion (≥0.8 N→4N efficiency) runs the
-  flagship validation at two parallelism levels on identical input —
-  local[N] and local[4N], default N=1 — and reports throughput at both
-  plus ``efficiency = (docs/sec @4N) / (4 × docs/sec @N)``. Each level is
-  pinned with -XX:ActiveProcessorCount so the JVM's GC/JIT/IO pools match
-  the level (local[N] otherwise borrows the other 31 hardware threads for
-  auxiliary work, deflating efficiency), and N=1/4N=4 keeps BOTH levels
-  far from the single socket's memory-bandwidth wall — the regime where
-  one box faithfully emulates executors that each bring their own memory
-  channels (at 16+ concurrent workers the shared memory controller, which
-  a multi-node cluster does not share, becomes the bottleneck — measured
-  analysis in BENCH/BASELINE.md). The scaling corpus is the base table
-  replicated ×SIEVE_SCALE_REPLICAS (default 3, block-key-disjoint so pair
-  work stays linear) so per-run fixed latency (~5-13 s) is a small
-  fraction of the N-level run the way a real long-running corpus would
-  amortize it. SIEVE_BENCH_SCALING=0 skips it.
+  flagship validation at two parallelism levels on identical input.
+  EACH LEVEL RUNS IN A FRESH SUBPROCESS under ``taskset -c 0..N-1`` so
+  the OS affinity mask restricts the WHOLE process tree (JVM, Python
+  workers) to exactly N hardware threads — the JDK reads the mask, so
+  ``Runtime.availableProcessors() == N`` is asserted before timing and
+  recorded in the output (round 2 set -XX:ActiveProcessorCount on a
+  REUSED JVM, which silently kept all 32 threads; fixed per ADVICE.md).
+  N=1/4N=4 keeps BOTH levels far from the single socket's
+  memory-bandwidth wall — the regime where one box faithfully emulates
+  executors that each bring their own memory channels; the
+  bandwidth-bound 8→32 pair is ALSO measured and reported
+  (``scaling_8_32``) together with a pair-kernel µs/pair concurrency
+  ladder (``kernel_scaling``) that directly evidences the shared
+  memory-controller ceiling a multi-node cluster does not have.
+- noisy-neighbor windows are detected DIRECTLY, not hoped around: a
+  fixed-work single-thread CPU probe (sha256 over 16 MiB) brackets every
+  timed sample; a sample whose bracketing probes run >1.5× the best
+  probe ever observed is marked noisy and excluded from the headline
+  best (raw samples + probe times are all retained in the JSON).
+- the scaling corpus is the base table replicated
+  ×SIEVE_SCALE_REPLICAS (default 3, block-key-disjoint so pair work
+  stays linear) so per-run fixed latency (~5-13 s) is a small fraction
+  of the N-level run the way a real long-running corpus would amortize
+  it. SIEVE_BENCH_SCALING=0 skips it.
 """
 
 from __future__ import annotations
 
+import argparse
+import hashlib
 import json
 import os
+import shutil
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -45,6 +56,14 @@ REPEATS = int(os.environ.get("SIEVE_BENCH_REPEATS", "2"))
 WORK_DIR = os.environ.get("SIEVE_BENCH_WORKDIR", "/tmp/sieve_bench")
 SCALE_N = int(os.environ.get("SIEVE_SCALE_N", "1"))
 SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "3"))
+# wall-clock budget for the whole bench; lower-priority measurements
+# (the 8→32 transparency pair) are skipped when it runs out
+DEADLINE_SEC = float(os.environ.get("SIEVE_BENCH_DEADLINE", "2700"))
+_T0 = time.time()
+
+
+def _remaining() -> float:
+    return DEADLINE_SEC - (time.time() - _T0)
 
 
 def _sf_of(path: str) -> float:
@@ -54,6 +73,56 @@ def _sf_of(path: str) -> float:
     except ValueError:
         return -1.0
 
+
+# ---------------------------------------------------------------- noise probe
+
+def pinned_cores() -> list[int]:
+    try:
+        return sorted(os.sched_getaffinity(0))
+    except AttributeError:
+        return list(range(CPUS))
+
+
+def steal_seconds(cores) -> float:
+    """Cumulative hypervisor steal time (seconds) on the given cores.
+
+    This sandbox is a VM on a shared host: the 'noisy neighbor' windows
+    that inflate identical runs up to 13× ARE vCPU steal, and /proc/stat
+    exposes it per core. Unlike a bracketing CPU probe (which a scheduler
+    can route around), steal integrates over the whole timed run on
+    exactly the cores the run was pinned to."""
+    tot = 0
+    try:
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and len(line) > 3 and line[3].isdigit():
+                    p = line.split()
+                    if int(p[0][3:]) in cores:
+                        tot += int(p[8])
+    except (OSError, IndexError, ValueError):
+        return 0.0
+    return tot / 100.0
+
+
+def probe_once() -> float:
+    """Fixed single-thread CPU work (sha256 over 16 MiB): a direct read of
+    how much of a core this process is actually getting right now. On a
+    quiet host it is constant to ~2%; in a noisy-neighbor window it
+    inflates with everything else."""
+    blk = b"\x5a" * 65536
+    t0 = time.perf_counter()
+    h = hashlib.sha256()
+    for _ in range(256):
+        h.update(blk)
+    h.digest()
+    return time.perf_counter() - t0
+
+
+def probe() -> float:
+    return min(probe_once() for _ in range(3))
+
+
+# ------------------------------------------------------------------- fixtures
 
 def materialize_inputs(spark, sf_dir: str) -> tuple[str, str, float]:
     """Write the interleaved documents + registry tables once per sf."""
@@ -74,6 +143,27 @@ def materialize_inputs(spark, sf_dir: str) -> tuple[str, str, float]:
     registry_from_tpch(spark).write.mode("overwrite").parquet(reg_path)
     return docs_path, reg_path, time.time() - t0
 
+
+def materialize_scaling_inputs(spark, sf_dir: str, replicas: int) -> str:
+    """Replicated (block-key-disjoint, ×replicas) documents table for the
+    N→4N measurement: per-run fixed latency (stage barriers, AQE rounds,
+    broadcast choreography — ~5 s warm) must be amortized the way a real
+    long-running corpus amortizes it, or the measurement reads as Amdahl
+    overhead, not engine scaling."""
+    from invoice_anomaly_detection_sieve_spark.datagen import (
+        docs_from_tpch,
+        replicate_documents,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(WORK_DIR, f"{tag}-x{replicas}", "documents.parquet")
+    if not os.path.isdir(path):
+        docs = replicate_documents(docs_from_tpch(spark, sf_dir), replicas)
+        docs.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+# ------------------------------------------------------------------ workloads
 
 def validate_once(spark, docs_path: str, reg_path: str) -> tuple[float, int]:
     from invoice_anomaly_detection_sieve_spark.plans import validate as V
@@ -126,21 +216,20 @@ def bench_queries(spark, sf_dir: str, docs_path: str) -> dict[str, float]:
 
 def fresh_session(cores: int, shuffle_partitions: int | None = None, pin_cpus: bool = False):
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     from invoice_anomaly_detection_sieve_spark.session import get_spark
 
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
-    # 4 waves per core: a single-wave shuffle (partitions == cores) gives a
-    # skewed or noisy task the whole stage as its blast radius
     extra = {}
     if pin_cpus:
-        # a scaling level must emulate an N-core EXECUTOR, not N task
-        # threads on a 32-core box: without the pin the JVM sizes its GC /
-        # JIT / IO pools to all 32 hardware threads and the small level
-        # borrows cores it should not have, deflating measured efficiency
+        # belt-and-braces with the taskset affinity mask: meaningful only
+        # in a FRESH process (JVM flags are fixed at JVM launch)
         extra["spark.driver.extraJavaOptions"] = f"-XX:ActiveProcessorCount={cores}"
+    # 4 waves per core: a single-wave shuffle (partitions == cores) gives a
+    # skewed or noisy task the whole stage as its blast radius
     spark = get_spark(
         "sieve-bench",
         cores=cores,
@@ -152,106 +241,280 @@ def fresh_session(cores: int, shuffle_partitions: int | None = None, pin_cpus: b
     return spark
 
 
-def materialize_scaling_inputs(spark, sf_dir: str) -> str:
-    """Replicated (block-key-disjoint, ×SCALE_REPLICAS) documents table for
-    the N→4N measurement: per-run fixed latency (stage barriers, AQE
-    rounds, broadcast choreography — ~5 s warm) must be amortized the way
-    a real long-running corpus amortizes it, or the measurement reads as
-    Amdahl overhead, not engine scaling."""
-    from invoice_anomaly_detection_sieve_spark.datagen import (
-        docs_from_tpch,
-        replicate_documents,
+# ------------------------------------------------- one scaling level (child)
+
+def run_level_child(args) -> None:
+    """Runs in a FRESH subprocess (one JVM, taskset-pinned by the parent):
+    warmup + probe-bracketed timed samples of the flagship validation at
+    ``--level`` cores. Prints one JSON line on stdout and exits."""
+    cores = args.level
+    spark = fresh_session(cores, pin_cpus=True)
+    jvm_procs = int(spark._jvm.java.lang.Runtime.getRuntime().availableProcessors())
+    if jvm_procs != cores:
+        print(f"[bench] WARNING: JVM sees {jvm_procs} procs at level {cores} "
+              f"(taskset unavailable or mask not applied)", file=sys.stderr, flush=True)
+
+    cores_set = pinned_cores()
+    probe_best = min(args.probe_best if args.probe_best > 0 else 1e9, probe())
+    t_start = time.time()
+    validate_once(spark, args.docs, args.reg)  # warmup, untimed
+    samples: list[dict] = []
+    n_docs = 0
+    for i in range(args.max_repeats):
+        p_before = probe()
+        st0 = steal_seconds(cores_set)
+        t0 = time.time()
+        sec, n_docs = validate_once(spark, args.docs, args.reg)
+        steal_frac = (steal_seconds(cores_set) - st0) / max(
+            (time.time() - t0) * len(cores_set), 1e-9
+        )
+        p_after = probe()
+        probe_best = min(probe_best, p_before, p_after)
+        samples.append({
+            "sec": sec, "p_before": p_before, "p_after": p_after,
+            "steal_frac": steal_frac,
+        })
+        print(f"[bench] cores={cores} sample {i}: {sec:.1f}s "
+              f"(steal {steal_frac*100:.1f}%, probe {p_before*1e3:.0f}/"
+              f"{p_after*1e3:.0f} ms, best {probe_best*1e3:.0f})",
+              file=sys.stderr, flush=True)
+        clean = sorted(s["sec"] for s in samples if _is_clean(s, probe_best))
+        if i + 1 >= args.repeats:
+            if len(clean) >= 2 and clean[1] <= clean[0] * (1.0 + args.stable_pct):
+                break
+            allt = sorted(s["sec"] for s in samples)
+            if len(allt) >= 3 and allt[1] <= allt[0] * (1.0 + args.stable_pct):
+                break
+            if time.time() - t_start > args.budget:
+                break
+    spark.stop()
+    times = [s["sec"] for s in samples]
+    clean = [s["sec"] for s in samples if _is_clean(s, probe_best)]
+    print(json.dumps({
+        "cores": cores,
+        "jvm_procs": jvm_procs,
+        "pin_verified": jvm_procs == cores,
+        "n_docs": n_docs,
+        "times": [round(t, 2) for t in times],
+        "clean_times": [round(t, 2) for t in clean],
+        "best": round(min(clean) if clean else min(times), 2),
+        "all_noisy": not clean,
+        "probe_best_ms": round(probe_best * 1e3, 1),
+        "steal_fracs": [round(s["steal_frac"], 4) for s in samples],
+        "probes_ms": [[round(s["p_before"] * 1e3, 1), round(s["p_after"] * 1e3, 1)]
+                      for s in samples],
+    }))
+
+
+STEAL_NOISY = 0.05  # >5% of the pinned cores' time stolen during the run
+
+
+def _is_clean(s: dict, probe_best: float) -> bool:
+    return (
+        s["steal_frac"] <= STEAL_NOISY
+        and max(s["p_before"], s["p_after"]) <= 1.5 * probe_best
     )
 
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(WORK_DIR, f"{tag}-x{SCALE_REPLICAS}", "documents.parquet")
-    if not os.path.isdir(path):
-        docs = replicate_documents(docs_from_tpch(spark, sf_dir), SCALE_REPLICAS)
-        docs.repartition(64).write.mode("overwrite").parquet(path)
-    return path
+
+def run_level(cores: int, docs_path: str, reg_path: str, repeats: int,
+              max_repeats: int, budget: float, probe_best: float) -> dict:
+    """Spawn a fresh pinned subprocess for one scaling level and parse its
+    JSON result line. taskset restricts the whole child tree (JVM + Python
+    workers) to cores 0..N-1, exactly an N-core executor's resources."""
+    cmd = []
+    if shutil.which("taskset"):
+        cmd += ["taskset", "-c", "0" if cores == 1 else f"0-{cores - 1}"]
+    cmd += [
+        sys.executable, os.path.abspath(__file__),
+        "--level", str(cores), "--docs", docs_path, "--reg", reg_path,
+        "--repeats", str(repeats), "--max-repeats", str(max_repeats),
+        "--budget", str(budget), "--probe-best", str(probe_best),
+    ]
+    r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    line = r.stdout.strip().splitlines()[-1]
+    return json.loads(line)
 
 
-def measure_level(
-    cores: int,
-    docs_path: str,
-    reg_path: str,
-    repeats: int,
-    max_repeats: int = 3,
-    stable_pct: float = 0.15,
-    budget_sec: float = 540.0,
-    pin_cpus: bool = False,
-) -> tuple[list[float], int]:
-    """Warm flagship times at one parallelism level (one session: an
-    untimed warmup run, then timed runs until two samples agree).
+def merge_levels(x: dict, y: dict) -> dict:
+    """Pool the samples of two visits to the same level (revisits ride out
+    noisy windows that swallow a whole visit)."""
+    out = dict(x)
+    for k in ("times", "clean_times", "steal_fracs", "probes_ms"):
+        out[k] = x.get(k, []) + y.get(k, [])
+    out["n_docs"] = x["n_docs"] or y["n_docs"]
+    out["pin_verified"] = bool(x["pin_verified"] and y["pin_verified"])
+    out["all_noisy"] = not out["clean_times"]
+    out["best"] = round(min(out["clean_times"] or out["times"]), 2)
+    return out
 
-    The warmup pays the one-time costs (codegen compile, Python worker
-    pool, JIT) — a 10^12-doc deployment runs warm by definition; the timed
-    runs still do ALL per-run work: scan, parse, cache build, every
-    shuffle, the pair kernel, the final count. The sandbox host has
-    noisy-neighbor windows that inflate identical runs up to 5× for
-    minutes at a time, so sampling continues past ``repeats`` until the
-    two fastest samples agree within ``stable_pct`` (the min of a stable
-    pair is a quiet-window measurement) or the budget runs out."""
-    s = fresh_session(cores, pin_cpus=pin_cpus)
-    validate_once(s, docs_path, reg_path)  # warmup, untimed
-    times, n_docs = [], 0
-    t_start = time.time()
-    for i in range(max_repeats):
-        sec, n_docs = validate_once(s, docs_path, reg_path)
-        times.append(sec)
-        print(f"[bench] cores={cores} sample {i}: {sec:.1f}s", file=sys.stderr, flush=True)
-        if i + 1 >= repeats:
-            lo = sorted(times)[:2]
-            if len(lo) >= 2 and lo[1] <= lo[0] * (1.0 + stable_pct):
-                break
-            if time.time() - t_start > budget_sec:
-                break
-    return times, n_docs
 
+def scaling_block(lo: dict, hi: dict) -> dict:
+    n, n4 = lo["cores"], hi["cores"]
+    t_n, t_4n = lo["best"], hi["best"]
+    docs = hi["n_docs"] or lo["n_docs"]
+    thr_n, thr_4n = docs / t_n, docs / t_4n
+    return {
+        "cores_n": n,
+        "cores_4n": n4,
+        "scale_docs": docs,
+        "sec_n": t_n,
+        "sec_4n": t_4n,
+        "samples_n": lo["times"],
+        "samples_4n": hi["times"],
+        "clean_samples_n": lo["clean_times"],
+        "clean_samples_4n": hi["clean_times"],
+        "pin_verified": bool(lo["pin_verified"] and hi["pin_verified"]),
+        "steal_fracs_n": lo.get("steal_fracs", []),
+        "steal_fracs_4n": hi.get("steal_fracs", []),
+        "probe_best_ms": [lo["probe_best_ms"], hi["probe_best_ms"]],
+        "docs_per_sec_n": round(thr_n, 1),
+        "docs_per_sec_4n": round(thr_4n, 1),
+        "efficiency": round(thr_4n / ((n4 / n) * thr_n), 3),
+    }
+
+
+# ------------------------------------------- pair-kernel concurrency ladder
+
+def _kernel_probe_worker(payload: tuple) -> float:
+    """One worker of the kernel ladder: scores the same synthetic pair
+    batch ``reps`` times with cold caches, returns µs/pair (median rep)."""
+    n_pairs, reps = payload
+    import numpy as np
+    import pandas as pd
+
+    from invoice_anomaly_detection_sieve_spark.functions import kernels as K
+    from invoice_anomaly_detection_sieve_spark.operators import pairs as P
+
+    rng = np.random.default_rng(1234)
+    words = ["widget", "gasket", "flange", "bolt", "seal", "valve", "pump",
+             "filter", "hose", "bearing", "motor", "belt", "switch", "panel"]
+
+    def desc():
+        return " ".join(rng.choice(words, size=3).tolist())
+
+    a_inv = pd.Series([f"INV-{rng.integers(10**6):06d}" for _ in range(n_pairs)])
+    b_inv = pd.Series([f"INV-{rng.integers(10**6):06d}" for _ in range(n_pairs)])
+    descs = [[desc() for _ in range(4)] for _ in range(n_pairs)]
+    blobs = pd.Series([" ".join(d) for d in descs])
+    qty = [np.abs(rng.standard_normal(4)) * 10 + 1 for _ in range(n_pairs)]
+    ups = [np.abs(rng.standard_normal(4)) * 100 + 5 for _ in range(n_pairs)]
+    amts = [q * u for q, u in zip(qty, ups)]
+    sdescs = pd.Series(descs)
+    sq, su, sa = pd.Series(qty), pd.Series(ups), pd.Series(amts)
+
+    times = []
+    for _ in range(reps):
+        K._JW_CACHE.clear()
+        t0 = time.perf_counter()
+        P._pair_kernel_fn(a_inv, b_inv, blobs, blobs,
+                          sdescs, sq, su, sa, sdescs, sq, su, sa)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return times[len(times) // 2] / n_pairs * 1e6
+
+
+def kernel_scaling_ladder(levels=(1, 4, 8, 32), n_pairs=2000, reps=3) -> dict:
+    """Run the pair kernel in K concurrent PROCESSES on identical data and
+    report median µs/pair at each K. This isolates the memory-bandwidth
+    ceiling claim (BENCH/BASELINE.md): the kernel itself is embarrassingly
+    parallel, so any µs/pair inflation at high K is shared-socket
+    contention — resources a real multi-node cluster adds with every
+    executor."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    out = {}
+    for k in levels:
+        with ctx.Pool(k) as pool:
+            per_worker = pool.map(_kernel_probe_worker, [(n_pairs, reps)] * k)
+        per_worker.sort()
+        out[str(k)] = round(per_worker[len(per_worker) // 2], 1)
+        print(f"[bench] kernel ladder K={k}: {out[str(k)]} us/pair",
+              file=sys.stderr, flush=True)
+    return {"pairs_per_worker": n_pairs, "us_per_pair": out}
+
+
+# ------------------------------------------------------------------------ main
 
 def main():
     results: dict = {"sf": _sf_of(SF_DIR), "cpus": CPUS}
+    probe_best = probe()
 
     spark = fresh_session(CPUS)
     docs_path, reg_path, gen_sec = materialize_inputs(spark, SF_DIR)
     scaling_on = os.environ.get("SIEVE_BENCH_SCALING", "1") != "0"
-    scale_docs_path = materialize_scaling_inputs(spark, SF_DIR) if scaling_on else None
+    scale_docs_path = (
+        materialize_scaling_inputs(spark, SF_DIR, SCALE_REPLICAS) if scaling_on else None
+    )
     results["datagen_sec"] = round(gen_sec, 3)
 
     qtimes = bench_queries(spark, SF_DIR, docs_path)
 
     # headline throughput: warm best-of-N at full width on the base corpus
     print(f"[bench] headline validate cores={CPUS} ...", file=sys.stderr, flush=True)
-    full_times, n_docs = measure_level(CPUS, docs_path, reg_path, REPEATS)
+    validate_once(spark, docs_path, reg_path)  # warmup
+    cores_set = pinned_cores()
+    full_times, steals, n_docs = [], [], 0
+    for i in range(max(REPEATS + 1, 3)):
+        st0, t0 = steal_seconds(cores_set), time.time()
+        sec, n_docs = validate_once(spark, docs_path, reg_path)
+        steals.append(round(
+            (steal_seconds(cores_set) - st0)
+            / max((time.time() - t0) * len(cores_set), 1e-9), 4))
+        full_times.append(sec)
+        print(f"[bench] headline sample {i}: {sec:.1f}s (steal {steals[-1]*100:.1f}%)",
+              file=sys.stderr, flush=True)
+        lo = sorted(full_times)[:2]
+        if i + 1 >= REPEATS and len(lo) >= 2 and lo[1] <= lo[0] * 1.15:
+            break
     sec_full = min(full_times)
+    results["headline_samples"] = [round(t, 2) for t in full_times]
+    results["headline_steal_fracs"] = steals
     qtimes["validate_full"] = round(sec_full, 3)
     results["queries"] = qtimes
     results["docs"] = n_docs
     results["docs_per_sec"] = round(n_docs / sec_full, 1)
+    # ONE session in this process, stopped cleanly BEFORE any subprocess
+    # level runs (a dangling PythonAccumulatorV2 server racing JVM teardown
+    # was the stack-trace noise in earlier rounds' bench tails)
+    spark.stop()
+    time.sleep(1.0)
 
     if scaling_on:
-        samples: dict[int, list[float]] = {}
-        n_scale = 0
-        for cores in (4 * SCALE_N, SCALE_N):
-            print(f"[bench] scaling level cores={cores} ...", file=sys.stderr, flush=True)
-            times, n_scale = measure_level(
-                cores, scale_docs_path, reg_path, REPEATS, pin_cpus=True
-            )
-            samples[cores] = times
-        t_n, t_4n = min(samples[SCALE_N]), min(samples[4 * SCALE_N])
-        thr_n, thr_4n = n_scale / t_n, n_scale / t_4n
-        results["scaling"] = {
-            "cores_n": SCALE_N,
-            "cores_4n": 4 * SCALE_N,
-            "scale_docs": n_scale,
-            "sec_n": round(t_n, 2),
-            "sec_4n": round(t_4n, 2),
-            "samples_n": [round(x, 2) for x in samples[SCALE_N]],
-            "samples_4n": [round(x, 2) for x in samples[4 * SCALE_N]],
-            "docs_per_sec_n": round(thr_n, 1),
-            "docs_per_sec_4n": round(thr_4n, 1),
-            "efficiency": round(thr_4n / (4.0 * thr_n), 3),
-        }
+        # headline pair first (the north_rule gate), transparency pair after
+        print("[bench] scaling 1->4 (taskset-pinned fresh subprocesses)",
+              file=sys.stderr, flush=True)
+        lv4 = run_level(4 * SCALE_N, scale_docs_path, reg_path, REPEATS,
+                        max_repeats=5, budget=420, probe_best=probe_best)
+        lv1 = run_level(SCALE_N, scale_docs_path, reg_path, REPEATS,
+                        max_repeats=5, budget=min(900.0, max(_remaining() - 360, 500.0)),
+                        probe_best=probe_best)
+        # the 4N level is cheap; a second visit in a different noise window
+        # protects the gate's numerator (noise on 4N DEFLATES efficiency,
+        # noise on N only inflates it — best-of both sides keeps it honest)
+        if lv4["all_noisy"] or (_remaining() > 420 and len(lv4["clean_times"]) < 2):
+            lv4 = merge_levels(lv4, run_level(
+                4 * SCALE_N, scale_docs_path, reg_path, 2,
+                max_repeats=3, budget=240, probe_best=probe_best))
+        results["scaling"] = scaling_block(lv1, lv4)
+        results["scaling_1_4"] = results["scaling"]
+
+        if _remaining() > 420:
+            print("[bench] scaling 8->32 (transparency pair, same corpus)",
+                  file=sys.stderr, flush=True)
+            lv32 = run_level(32, scale_docs_path, reg_path, 2,
+                             max_repeats=4, budget=150, probe_best=probe_best)
+            lv8 = run_level(8, scale_docs_path, reg_path, 2,
+                            max_repeats=4, budget=240, probe_best=probe_best)
+            results["scaling_8_32"] = scaling_block(lv8, lv32)
+        else:
+            results["scaling_8_32"] = {"skipped": "bench deadline"}
+
+        try:
+            results["kernel_scaling"] = kernel_scaling_ladder()
+        except Exception as e:  # the ladder is evidence, not the gate
+            results["kernel_scaling"] = {"error": str(e)[:200]}
 
     results["metric"] = "validated_docs_per_sec"
     results["value"] = results["docs_per_sec"]
@@ -261,4 +524,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--level", type=int, default=0)
+    ap.add_argument("--docs", type=str, default="")
+    ap.add_argument("--reg", type=str, default="")
+    ap.add_argument("--repeats", type=int, default=REPEATS)
+    ap.add_argument("--max-repeats", type=int, default=5)
+    ap.add_argument("--stable-pct", type=float, default=0.15)
+    ap.add_argument("--budget", type=float, default=600.0)
+    ap.add_argument("--probe-best", type=float, default=0.0)
+    a = ap.parse_args()
+    if a.level > 0:
+        run_level_child(a)
+    else:
+        main()

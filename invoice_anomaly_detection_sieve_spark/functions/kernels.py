@@ -438,7 +438,12 @@ def line_assign_features_arrays(
             row[j] = 1.0 - jw_cached(da, b_desc[j] or "")
 
     cost = alpha * desc_cost + beta * up_term + gamma * qty_term
-    # exact fast paths for degenerate shapes (very common: 1-line docs)
+    # exact fast paths for degenerate shapes (very common: 1-line docs).
+    # Tie-break contract: FIRST index among equal-cost minima — np.argmin,
+    # the small-path ``min(range, key=...)`` and the JV solver's strict-<
+    # scan all pick the first minimum, so every path yields the same
+    # assignment on exact cost ties (pinned by
+    # tests/test_kernels.py::test_assignment_tie_break_first_min).
     if n == 1:
         row_ind = np.zeros(1, dtype=np.int64)
         col_ind = np.array([int(np.argmin(cost[0]))], dtype=np.int64)

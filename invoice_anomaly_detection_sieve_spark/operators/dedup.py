@@ -270,6 +270,7 @@ def simhash_near_duplicates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int | None = None,
+    max_bucket: int | None = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs with GUARANTEED recall via banded buckets.
 
@@ -282,7 +283,14 @@ def simhash_near_duplicates(
     ``max_hamming`` (4 for the default radius 3 ⇒ 16-bit bands). Each doc
     explodes into ``bands`` bucket rows ⇒ one shuffle on (band, band_bits);
     pairs deduped before the exact Hamming check.
-    Output: a_id, b_id, hamming.
+
+    ``max_bucket`` is the hot-bucket guard (same as minhash_lsh_pairs):
+    a degenerate band value — short or templated docs collapsing to one
+    16-bit pattern — would otherwise make the candidate self-join O(n²)
+    in that bucket. Buckets above the cap are DROPPED, which trades the
+    pigeonhole recall guarantee for bounded work in those buckets only
+    (a pair survives if any of its other shared bands is under the cap);
+    pass ``None`` to keep exact recall. Output: a_id, b_id, hamming.
     """
     if bands is None:
         bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
@@ -310,8 +318,14 @@ def simhash_near_duplicates(
             for b in range(bands)
         ]
     )
-    # both self-join sides reuse the persisted signature+bucket table
+    # both self-join sides (and the bucket-count guard) reuse the
+    # persisted signature+bucket table
     bucketed = sig.select("_id", "_sig", F.explode(band_arr).alias("_bucket")).persist()
+    if max_bucket is not None:
+        counts = bucketed.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bc"))
+        bucketed = bucketed.join(
+            counts.where(F.col("_bc") <= max_bucket), "_bucket"
+        ).drop("_bc")
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, "_bucket")

@@ -3,23 +3,38 @@
 The reference SPECS (but never shipped) model-based detectors — "Isolation
 Forest / one-class SVM on engineered features" (ML-003,
 /root/reference/requirements.md:132,258). sklearn is absent here, so this
-is the textbook isolation forest (Liu, Ting, Zhou 2008) on numpy, run as a
-grouped-map (``applyInPandas``) per partition: each vendor/partition fits
-its own forest on its own feature sample — the same per-partition-baseline
-shape as the profile job, so a hot partition isolates to one worker and
-nothing touches the driver.
+is the textbook isolation forest (Liu, Ting, Zhou 2008) on numpy, split
+into two bounded-memory phases:
 
-Determinism: the RNG seeds from sha256(partition key), so scores are
-reproducible across runs and cluster layouts.
+1. FIT (``fit_forests``): per group, a deterministic bounded sample pool —
+   the ``pool_factor × sample`` rows with the smallest
+   ``(xxhash64(id), id)`` — is assembled with a cheap count + hash-stride
+   pre-filter + small top-k window, then a grouped-map builds the trees
+   from per-tree subsamples of the pool. The pandas group a worker sees is
+   ≤ the pool size (default 1024 rows), NEVER the whole partition.
+2. SCORE (``isolation_scores``): the fitted models (one small JSON blob
+   per group) are collected and broadcast — O(groups), the same
+   broadcast-scale assumption as the profile baselines — and every row is
+   scored by ``mapInPandas`` over Arrow batches: memory is O(batch), so a
+   hot partition of 10^8 rows streams through instead of materializing in
+   one worker (the round-2 design scored the whole partition inside
+   ``applyInPandas``).
+
+Determinism: the RNG seeds from sha256(partition key) and the sample pool
+is hash-ranked, so scores are reproducible across runs AND cluster
+layouts (the old path sampled by intra-group row order, which a different
+shuffle could permute).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 
 _EULER = 0.5772156649015329
 
@@ -34,7 +49,7 @@ def _c(n: float) -> float:
 
 def _build_tree(rng: np.random.RandomState, x: np.ndarray, depth: int, limit: int):
     """Recursive isolation tree over sample rows ``x`` (n × d).
-    Node = (feature, split, left, right) | leaf size (int)."""
+    Node = [feature, split, left, right] | leaf size (int) — JSON-ready."""
     n = len(x)
     if depth >= limit or n <= 1:
         return n
@@ -46,12 +61,12 @@ def _build_tree(rng: np.random.RandomState, x: np.ndarray, depth: int, limit: in
     f = int(rng.choice(usable))
     split = float(rng.uniform(lo[f], hi[f]))
     mask = x[:, f] < split
-    return (
+    return [
         f,
         split,
         _build_tree(rng, x[mask], depth + 1, limit),
         _build_tree(rng, x[~mask], depth + 1, limit),
-    )
+    ]
 
 
 def _path_length(tree, x: np.ndarray, depth: int = 0) -> np.ndarray:
@@ -68,6 +83,63 @@ def _path_length(tree, x: np.ndarray, depth: int = 0) -> np.ndarray:
     return out
 
 
+def fit_forests(
+    docs: DataFrame,
+    features: tuple[str, ...] = ("total",),
+    group_col: str = "part",
+    id_col: str = "doc_id",
+    n_trees: int = 32,
+    sample: int = 256,
+    pool_factor: int = 4,
+) -> DataFrame:
+    """Fit one isolation forest per group from a bounded deterministic
+    sample. Output: (group, model, psi) — ``model`` is the JSON tree list
+    (NULL for groups under 8 rows), ``psi`` the per-tree subsample size.
+
+    The pool is the ``pool_factor × sample`` rows with smallest
+    ``(xxhash64(id), id)``. To avoid a full per-group sort at 10^12 rows,
+    a per-group count (broadcast, O(groups)) sets a hash stride that
+    pre-filters to ~2× the pool before the top-k window runs.
+    """
+    feat_list = list(features)
+    pool = pool_factor * sample
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
+    h = F.xxhash64(F.col(id_col))
+    stride = F.greatest(F.lit(1).cast("long"), (F.col("_gn") / (2 * pool)).cast("long"))
+    cand = (
+        docs.select(group_col, id_col, *feat_list)
+        .join(F.broadcast(counts), group_col)
+        .where(F.pmod(h, stride) == 0)
+        .drop("_gn")
+    )
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    pooled = cand.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= pool)
+
+    schema = f"{group_col} string, model string, psi long"
+
+    def _fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = str(pdf[group_col].iloc[0])
+        pdf = pdf.sort_values("_rk")
+        x = pdf[feat_list].to_numpy(dtype=np.float64)
+        x = np.where(np.isnan(x), 0.0, x)
+        n = len(x)
+        if n < 8:
+            return pd.DataFrame({group_col: [part], "model": [None], "psi": [n]})
+        seed = int.from_bytes(hashlib.sha256(part.encode()).digest()[:4], "big")
+        rng = np.random.RandomState(seed)
+        psi = min(sample, n)
+        limit = int(np.ceil(np.log2(max(psi, 2))))
+        trees = []
+        for _ in range(n_trees):
+            idx = rng.choice(n, size=psi, replace=False)
+            trees.append(_build_tree(rng, x[idx], 0, limit))
+        return pd.DataFrame(
+            {group_col: [part], "model": [json.dumps(trees)], "psi": [psi]}
+        )
+
+    return pooled.groupBy(group_col).applyInPandas(_fit, schema)
+
+
 def isolation_scores(
     docs: DataFrame,
     features: tuple[str, ...] = ("total",),
@@ -82,38 +154,57 @@ def isolation_scores(
     Output: part, doc_id, iso_score (∈(0,1], higher = more anomalous),
     iso_flag (score > threshold; 0.65 ≈ the conventional "anomaly" cut).
     NULL/NaN features are zero-filled (the engine's tolerant-coercion
-    convention). Partitions with < 8 sample rows emit score 0.5
+    convention). Partitions with < 8 rows emit score 0.5
     (indistinguishable) — the cold-start analog of the z-score gate.
+
+    The fitted models are broadcast (O(groups) driver memory — the
+    vendor/partition cardinality assumption shared with the profile
+    broadcast); scoring streams Arrow batches through ``mapInPandas``,
+    so worker memory is O(batch) regardless of partition skew.
     """
     feat_list = list(features)
+    models_df = fit_forests(docs, features, group_col, id_col, n_trees, sample)
+    models = {
+        r[group_col]: (r["model"], int(r["psi"])) for r in models_df.collect()
+    }
+    bc = docs.sparkSession.sparkContext.broadcast(models)
     schema = f"{group_col} string, {id_col} string, iso_score double, iso_flag boolean"
 
-    def _fit_score(pdf: pd.DataFrame) -> pd.DataFrame:
-        part = str(pdf[group_col].iloc[0])
-        x = pdf[feat_list].to_numpy(dtype=np.float64)
-        x = np.where(np.isnan(x), 0.0, x)
-        n = len(x)
-        if n < 8:
-            score = np.full(n, 0.5)
-        else:
-            seed = int.from_bytes(hashlib.sha256(part.encode()).digest()[:4], "big")
-            rng = np.random.RandomState(seed)
-            psi = min(sample, n)
-            limit = int(np.ceil(np.log2(max(psi, 2))))
-            paths = np.zeros(n)
-            for _ in range(n_trees):
-                idx = rng.choice(n, size=psi, replace=False)
-                tree = _build_tree(rng, x[idx], 0, limit)
-                paths += _path_length(tree, x)
-            score = np.power(2.0, -(paths / n_trees) / max(_c(float(psi)), 1e-12))
-        return pd.DataFrame(
-            {
-                group_col: pdf[group_col].astype(str),
-                id_col: pdf[id_col].astype(str),
-                "iso_score": score,
-                "iso_flag": score > score_threshold,
-            }
-        )
+    def _score_iter(batches):
+        cache: dict = {}
 
-    cols = [group_col, id_col, *feat_list]
-    return docs.select(*cols).groupBy(group_col).applyInPandas(_fit_score, schema)
+        def forest(part: str):
+            if part not in cache:
+                m = bc.value.get(part)
+                if m is None or m[0] is None:
+                    cache[part] = None
+                else:
+                    cache[part] = (json.loads(m[0]), m[1])
+            return cache[part]
+
+        for pdf in batches:
+            x = pdf[feat_list].to_numpy(dtype=np.float64)
+            x = np.where(np.isnan(x), 0.0, x)
+            score = np.full(len(pdf), 0.5)
+            for part, idx in pdf.groupby(group_col, dropna=False).indices.items():
+                fitted = forest(str(part))
+                if fitted is None:
+                    continue
+                trees, psi = fitted
+                xs = x[idx]
+                paths = np.zeros(len(xs))
+                for t in trees:
+                    paths += _path_length(t, xs)
+                score[idx] = np.power(
+                    2.0, -(paths / n_trees) / max(_c(float(psi)), 1e-12)
+                )
+            yield pd.DataFrame(
+                {
+                    group_col: pdf[group_col].astype(str),
+                    id_col: pdf[id_col].astype(str),
+                    "iso_score": score,
+                    "iso_flag": score > score_threshold,
+                }
+            )
+
+    return docs.select(group_col, id_col, *feat_list).mapInPandas(_score_iter, schema)

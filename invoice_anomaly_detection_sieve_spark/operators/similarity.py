@@ -103,10 +103,25 @@ def hyperplane_signature(vec: Column, dim: int, bits: int = 16, seed: int = 7) -
 
     def _sig(batch: pd.Series) -> pd.Series:
         w = hyperplane_weights(dim, bits, seed)
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in batch])
-        bits_on = (mat @ w.T) > 0  # (batch, bits)
-        packed = bits_on @ (1 << np.arange(bits, dtype=np.int64))
-        return pd.Series(packed.astype(np.int64))
+        if len(batch) == 0:
+            return pd.Series(np.empty(0, dtype=np.int64))
+        # null / ragged / malformed vectors degrade to a NULL signature
+        # instead of poisoning the whole Arrow batch (np.stack on a 0-d
+        # None raises and fails the job)
+        ok = np.fromiter(
+            (v is not None and np.ndim(v) == 1 and len(v) == dim for v in batch),
+            dtype=bool, count=len(batch),
+        )
+        out = np.zeros(len(batch), dtype=np.int64)
+        if ok.any():
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v, g in zip(batch, ok) if g]
+            )
+            bits_on = (mat @ w.T) > 0  # (n_ok, bits)
+            out[ok] = bits_on @ (1 << np.arange(bits, dtype=np.int64))
+        res = pd.Series(out, dtype="Int64")
+        res[~ok] = pd.NA
+        return res
 
     return pandas_udf(_sig, "long")(vec)
 

@@ -72,7 +72,17 @@ def review_queue(verdicts: DataFrame, cases: DataFrame | None = None) -> DataFra
     """W6/UI-001: the manual-work queue, sorted by risk_score descending
     then SLA aging (earliest due first when cases are supplied), with a
     deterministic doc_id tie-break and an explicit queue_rank.
+
+    The global rank is computed in two stages so NO unbounded
+    single-partition window remains (the round-2 ``Window.orderBy`` pulled
+    every HOLD/REVIEW row through one task): rows are range-partitioned on
+    the sort keys (each task then ranks a contiguous slice of the global
+    order), and per-slice offsets — O(#slices) rows — are broadcast back.
+    The sort order is strict (doc_id tie-break), so ranks are
+    deterministic regardless of where the range sampler cuts boundaries.
     """
+    from pyspark.sql import Window
+
     q = verdicts.where(F.col("decision").isin(*CASE_OPEN_DECISIONS)).select(
         "part", "doc_id", "decision", "risk_score"
     )
@@ -81,7 +91,20 @@ def review_queue(verdicts: DataFrame, cases: DataFrame | None = None) -> DataFra
         q = q.join(cases.select("doc_id", "sla_due"), "doc_id", "left")
         order.append(F.asc_nulls_last("sla_due"))
     order.append(F.asc("doc_id"))
-    from pyspark.sql import Window
 
-    w = Window.orderBy(*order)
-    return q.withColumn("queue_rank", F.row_number().over(w)).orderBy("queue_rank")
+    ranked = q.repartitionByRange(*order).withColumn("_pid", F.spark_partition_id())
+    w_local = Window.partitionBy("_pid").orderBy(*order)
+    local = ranked.withColumn("_lrank", F.row_number().over(w_local))
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    # cumulative offsets over the slice counts: a window over ≤ #shuffle
+    # partitions rows — bounded, unlike the queue itself
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("queue_rank", (F.col("_off") + F.col("_lrank")).cast("int"))
+        .drop("_pid", "_lrank", "_off")
+        .orderBy("queue_rank")
+    )

@@ -848,12 +848,156 @@ SQL_BENFORD_STATS = _sql_benford_stats()
 
 
 def q_lang_id(spark, sf_dir):
-    """Language ID heuristic — rows-only check (stopword-rate argmax has
-    no clean SQL oracle)."""
+    """Language ID heuristic, oracle-checked: per-language stopword hit
+    rate over whitespace tokens of the normalized text, argmax with
+    (rate, lang) struct-max tie-break, 'und' below the 0.02 floor. Every
+    rate is an exact integer-count division (hits/n), so the doubles are
+    bit-identical across engines."""
     from ..operators import textstats as T
 
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", T.language_id(F.col("text")).alias("lang_pred"))
+
+
+_SQL_DESC_NORM_TEXT = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _sql_lang_id() -> str:
+    """DuckDB oracle mirroring textstats.language_id term by term: the
+    stopword VALUES are generated from the SAME ``STOPWORDS`` dict the
+    Spark expression bakes in, so the two can never drift apart."""
+    from ..operators.textstats import STOPWORDS
+
+    vals = ", ".join(
+        f"('{lang}', '{w}')" for lang in sorted(STOPWORDS) for w in STOPWORDS[lang]
+    )
+    return f"""
+WITH sw(lang, word) AS (VALUES {vals}),
+langs AS (SELECT DISTINCT lang FROM sw),
+n AS (
+  SELECT doc_id, {_SQL_DESC_NORM_TEXT} AS t FROM documents
+), toks AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(t, ' ') END AS tk
+  FROM n
+), counts AS (
+  SELECT doc_id, len(tk) AS n_tok FROM toks
+), tok_long AS (
+  SELECT doc_id, unnest(tk) AS w FROM toks
+), hits AS (
+  SELECT t.doc_id, s.lang, count(*) AS h
+  FROM tok_long t JOIN sw s ON t.w = s.word
+  GROUP BY 1, 2
+), rates AS (
+  SELECT c.doc_id, l.lang,
+         CASE WHEN c.n_tok > 0 THEN coalesce(h.h, 0) / c.n_tok ELSE 0.0 END AS rate
+  FROM counts c CROSS JOIN langs l
+  LEFT JOIN hits h ON h.doc_id = c.doc_id AND h.lang = l.lang
+), best AS (
+  SELECT doc_id, lang, rate,
+         row_number() OVER (PARTITION BY doc_id ORDER BY rate DESC, lang DESC) AS rn
+  FROM rates
+)
+SELECT doc_id, CASE WHEN rate >= 0.02 THEN lang ELSE 'und' END AS lang_pred
+FROM best WHERE rn = 1
+"""
+
+
+SQL_LANG_ID = _sql_lang_id()
+
+
+def q_near_dups_verified(spark, sf_dir):
+    """LSH-verified near-duplicates with a full DuckDB oracle.
+
+    Runs the REAL scale path (minhash signatures → banded buckets →
+    candidate self-join → exact shingle-Jaccard verification,
+    operators/dedup.py:near_duplicates) in a deterministic configuration:
+    16 permutations × 16 bands (one hash per band), so a pair with true
+    Jaccard J is a candidate unless ALL 16 independent permutations
+    disagree — P(miss) = (1−J)^16 ≤ 4.3e-8 at the 0.7 threshold. The
+    verified OUTPUT is engine-independent: exact Jaccard over distinct
+    5-word shingles of the normalized text (integer-count division ⇒
+    bit-identical doubles). The sf0.01 corpus's qualifying pairs all sit
+    at J ≥ 0.7 with the next pair down at 0.015, so there are no
+    boundary cases and the expected discrepancy vs the exact-Jaccard
+    oracle is ~1e-6 rows."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.near_duplicates(d, threshold=0.7, num_hashes=16, bands=16)
+    return out.select("a_id", "b_id", _r(F.col("jaccard"), 6).alias("jaccard_r"))
+
+
+SQL_NEAR_DUPS_VERIFIED = f"""
+WITH n AS (
+  SELECT doc_id, {_SQL_DESC_NORM_TEXT} AS t FROM documents
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS words FROM n
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 5 THEN
+           list_distinct(list_transform(range(1, len(words) - 3), i ->
+             array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ')))
+         ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w
+), j AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(list_distinct(list_concat(a.sh, b.sh))) AS u
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+)
+SELECT a_id, b_id, round(CASE WHEN u > 0 THEN i / u ELSE 0.0 END, 6) AS jaccard_r
+FROM j WHERE CASE WHEN u > 0 THEN i / u ELSE 0.0 END >= 0.7
+"""
+
+
+def q_simhash_verified(spark, sf_dir):
+    """SimHash-banded candidates verified by exact gram-set equality —
+    the deterministic recall class of the banded SimHash search
+    (operators/dedup.py:simhash_near_duplicates): equal distinct-3-gram
+    sets ⇒ equal signature ⇒ Hamming 0 ⇒ every band matches, so the
+    pigeonhole guarantee makes recall exact (not probabilistic) for this
+    query. The corpus is documents ∪ an id-shifted copy so the verified
+    set is non-trivial (the base corpus has 500 distinct gram sets).
+    max_bucket=None: the oracle comparison needs certain recall, so the
+    hot-bucket guard is explicitly disabled here."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    cand = dedup.simhash_near_duplicates(corpus, max_hamming=3, max_bucket=None)
+    grams = corpus.select(
+        F.col("doc_id").alias("_gid"),
+        F.array_sort(N.char_ngram_set(N.desc_norm(F.col("text")), 3)).alias("_g"),
+    )
+    a = grams.select(F.col("_gid").alias("a_id"), F.col("_g").alias("a_g"))
+    b = grams.select(F.col("_gid").alias("b_id"), F.col("_g").alias("b_g"))
+    return (
+        cand.join(a, "a_id").join(b, "b_id")
+        .where(F.col("a_g") == F.col("b_g"))
+        .select("a_id", "b_id")
+    )
+
+
+SQL_SIMHASH_VERIFIED = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+), n AS (
+  SELECT doc_id, {_SQL_DESC_NORM_TEXT} AS t FROM corpus
+), g AS (
+  SELECT doc_id,
+         list_sort(list_distinct(list_transform(range(1, length(t) - 1), i ->
+           substr(t, CAST(i AS INT), 3)))) AS grams
+  FROM n
+)
+SELECT a.doc_id AS a_id, b.doc_id AS b_id
+FROM g a JOIN g b ON a.doc_id < b.doc_id AND a.grams = b.grams
+"""
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1038,6 +1182,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_lang_id": q_lang_id,
     "dedup_minhash_lsh": q_minhash_lsh,
     "dedup_simhash": q_simhash,
+    "dedup_near_dups_verified": q_near_dups_verified,
+    "dedup_simhash_verified": q_simhash_verified,
     "m7_ks_drift": q_ks_drift,
     "m7_psi_drift": q_psi_drift,
     "m7_isolation_forest": q_isolation_forest,
@@ -1069,7 +1215,11 @@ ORACLES: dict[str, str] = {
     "a9b_benford_stats": SQL_BENFORD_STATS,
     "m7_psi_drift": SQL_PSI_DRIFT,
     "m7_ks_drift": SQL_KS_DRIFT,
-    # txt_lang_id / dedup_minhash_lsh / dedup_simhash:
-    # rows-only (non-SQL-expressible kernels: stopword-argmax heuristic,
-    # xxhash64-seeded signatures)
+    "txt_lang_id": SQL_LANG_ID,
+    "dedup_near_dups_verified": SQL_NEAR_DUPS_VERIFIED,
+    "dedup_simhash_verified": SQL_SIMHASH_VERIFIED,
+    # dedup_minhash_lsh / dedup_simhash: rows-only (raw xxhash64-seeded
+    # signatures are engine-specific); their VERIFIED outputs are
+    # oracle-checked above (dedup_near_dups_verified /
+    # dedup_simhash_verified)
 }

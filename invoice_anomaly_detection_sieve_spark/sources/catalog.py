@@ -67,6 +67,25 @@ class ParquetCatalog:
         snaps = self.snapshots(name)
         return snaps[-1]["id"] if snaps else 0
 
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self._table_dir(name), "meta.json")
+
+    def table_meta(self, name: str) -> dict:
+        """Table-level metadata (the Iceberg table-properties analog);
+        carries ``bucket_spec`` = {keys, buckets} for bucketed layouts."""
+        p = self._meta_path(name)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_meta(self, name: str, meta: dict) -> None:
+        os.makedirs(self._table_dir(name), exist_ok=True)
+        tmp = self._meta_path(name) + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.rename(tmp, self._meta_path(name))
+
     def _record_snapshot(self, name: str, files: list[str], op: str) -> int:
         d = self._snap_dir(name)
         os.makedirs(d, exist_ok=True)
@@ -108,6 +127,9 @@ class ParquetCatalog:
             os.rename(data, backup)
         os.rename(staged, data)
         files = [f for f in os.listdir(data) if f.endswith(".parquet")]
+        meta = self.table_meta(name)
+        if meta.pop("bucket_spec", None) is not None:  # layout destroyed
+            self._write_meta(name, meta)
         return self._record_snapshot(name, files, "overwrite")
 
     def merge_upsert(
@@ -125,12 +147,34 @@ class ParquetCatalog:
         buckets), not O(table) — the property that keeps S7 registry
         maintenance and streaming micro-batch merges viable at 10^12 docs.
         The full rewrite remains the default for small dimension tables.
+
+        The bucket spec is PERSISTED in table metadata and validated on
+        every merge: merging with a different bucket count (or into a
+        table created non-bucketed) triggers a one-time full migration to
+        the requested layout instead of silently skipping the anti-join
+        and leaving stale same-key rows behind; merging with
+        ``buckets=None`` into a bucketed table routes through the stored
+        spec rather than flattening the layout.
         """
+        meta = self.table_meta(name)
+        stored = meta.get("bucket_spec")
+        if buckets is None and stored and stored.get("keys") == keys:
+            buckets = stored["buckets"]
         if buckets is not None:
-            return self._merge_upsert_bucketed(name, source, keys, buckets)
+            migrate = self.exists(name) and (
+                stored is None
+                or stored.get("keys") != keys
+                or stored.get("buckets") != buckets
+            )
+            sid = self._merge_upsert_bucketed(name, source, keys, buckets, migrate)
+            meta["bucket_spec"] = {"keys": keys, "buckets": buckets}
+            self._write_meta(name, meta)
+            return sid
         if not self.exists(name):
             return self.overwrite(name, source)
         target = self.read(name)
+        if "_bucket" in target.columns:  # un-spec'd bucketed table: de-layout
+            target = target.drop("_bucket")
         kept = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(source, allowMissingColumns=True)
         return self.overwrite(name, merged)
@@ -142,7 +186,12 @@ class ParquetCatalog:
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(buckets)).cast("int")
 
     def _merge_upsert_bucketed(
-        self, name: str, source: DataFrame, keys: list[str], buckets: int
+        self,
+        name: str,
+        source: DataFrame,
+        keys: list[str],
+        buckets: int,
+        migrate: bool = False,
     ) -> int:
         import shutil
 
@@ -158,6 +207,26 @@ class ParquetCatalog:
             os.rename(staged, data)
             files = self._bucket_files(data)
             return self._record_snapshot(name, files, "merge-bucketed")
+        if migrate:
+            # layout mismatch (different bucket count, or a table written
+            # non-bucketed): one-time full merge + rewrite into the
+            # requested layout — every row lands in its correct bucket
+            target = self.read(name)
+            if "_bucket" in target.columns:
+                target = target.drop("_bucket")
+            kept = target.join(
+                source.select(*keys).distinct(), keys, "left_anti"
+            ).withColumn("_bucket", self._bucket_col(keys, buckets))
+            merged = kept.unionByName(src, allowMissingColumns=True)
+            gen = uuid.uuid4().hex[:12]
+            staged = os.path.join(self._table_dir(name), f"stage-{gen}")
+            merged.write.partitionBy("_bucket").mode("overwrite").parquet(staged)
+            backup = os.path.join(self._table_dir(name), f"old-{gen}")
+            os.rename(data, backup)
+            os.rename(staged, data)
+            return self._record_snapshot(
+                name, self._bucket_files(data), "merge-bucketed-migrate"
+            )
         # rewrite ONLY the touched buckets: anti-join within the bucket subset
         old_paths = [
             os.path.join(data, f"_bucket={b}")

@@ -187,3 +187,54 @@ def test_bucketed_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert untouched, "test corpus must leave some buckets untouched"
     for b in untouched:
         assert before[b] == after[b], f"untouched bucket {b} was rewritten"
+
+
+def test_review_queue_two_stage_global_rank(spark):
+    """Ranks are the strict global order AND the queue-row window is keyed
+    by the range-slice id (no unbounded single-partition window over the
+    queue; round-2 VERDICT #7)."""
+    from invoice_anomaly_detection_sieve_spark.plans.cases import review_queue
+
+    rows = [
+        ("P", f"doc{i:04d}", "HOLD" if i % 3 == 0 else ("REVIEW" if i % 3 == 1 else "PASS"),
+         float((i * 37) % 101))
+        for i in range(300)
+    ]
+    verdicts = spark.createDataFrame(rows, "part string, doc_id string, decision string, risk_score double")
+    q = review_queue(verdicts)
+    got = [(r["doc_id"], r["queue_rank"]) for r in q.collect()]
+    kept = [r for r in rows if r[2] in ("HOLD", "REVIEW")]
+    want = sorted(kept, key=lambda r: (-r[3], r[1]))
+    assert got == [(r[1], i + 1) for i, r in enumerate(want)]
+    plan = q._jdf.queryExecution().toString()
+    # the rank window must carry the slice-id partition spec; only the
+    # O(#slices) offsets window may be global
+    assert "_pid" in plan
+
+
+def test_bucketed_merge_migrates_mismatched_layout(spark, tmp_path):
+    """Bucket spec is persisted and validated: merging bucketed into a
+    non-bucketed table (or with a different bucket count) migrates the
+    layout instead of silently leaving stale same-key rows (round-2
+    ADVICE)."""
+    from invoice_anomaly_detection_sieve_spark.sources.catalog import ParquetCatalog
+
+    cat = ParquetCatalog(spark, str(tmp_path / "cat"))
+    df1 = spark.createDataFrame([(k, 1) for k in "abcd"], "k string, v int")
+    cat.merge_upsert("t", df1, ["k"])  # plain, non-bucketed
+    upd = spark.createDataFrame([("a", 2), ("e", 2)], "k string, v int")
+    cat.merge_upsert("t", upd, ["k"], buckets=8)  # layout mismatch -> migrate
+    rows = {r["k"]: r["v"] for r in cat.read_bucketed("t").collect()}
+    assert rows == {"a": 2, "b": 1, "c": 1, "d": 1, "e": 2}  # no stale 'a'
+    assert cat.table_meta("t")["bucket_spec"] == {"keys": ["k"], "buckets": 8}
+    # different bucket count -> migrate again, still exactly-one-row-per-key
+    cat.merge_upsert("t", spark.createDataFrame([("b", 3)], "k string, v int"),
+                     ["k"], buckets=4)
+    rows = {r["k"]: r["v"] for r in cat.read_bucketed("t").collect()}
+    assert rows == {"a": 2, "b": 3, "c": 1, "d": 1, "e": 2}
+    assert cat.table_meta("t")["bucket_spec"]["buckets"] == 4
+    # buckets=None against a bucketed table routes through the stored spec
+    cat.merge_upsert("t", spark.createDataFrame([("c", 4)], "k string, v int"), ["k"])
+    rows = {r["k"]: r["v"] for r in cat.read_bucketed("t").collect()}
+    assert rows == {"a": 2, "b": 3, "c": 4, "d": 1, "e": 2}
+    assert cat.table_meta("t")["bucket_spec"]["buckets"] == 4

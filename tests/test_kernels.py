@@ -144,3 +144,48 @@ def test_small_lsa_matches_numpy_path():
                 for perm in itertools.permutations(range(m), k)
             )
             assert abs(total - best) < 1e-9
+
+
+def test_assignment_tie_break_first_min():
+    """Pinned contract: on exact cost ties every assignment path picks the
+    FIRST index among the minima — the 1×m/n×1 argmin fast paths, the
+    small-list solver, and the numpy JV solver must agree (ADVICE round 2:
+    a divergent tie-break would silently change median_unit_price_diff)."""
+    tie_rows = [
+        [3.0, 1.0, 1.0, 4.0],
+        [2.0, 2.0, 2.0, 2.0],
+        [5.0, 4.0, 4.0, 4.0],
+    ]
+    for row in tie_rows:
+        cost = np.array([row])
+        jv_rows, jv_cols = K.linear_sum_assignment(cost)
+        assert int(jv_cols[0]) == int(np.argmin(cost[0]))
+        # n×1 transpose: first minimum row
+        cost_t = cost.T.copy()
+        jv_rows_t, jv_cols_t = K.linear_sum_assignment(cost_t)
+        assert int(jv_rows_t[0]) == int(np.argmin(cost_t[:, 0]))
+        # _lsa_small (the ≤8×8 list path) agrees with both
+        assigned = K._lsa_small([row], 1, len(row))
+        picked = next(j - 1 for j in range(1, len(row) + 1) if assigned[j])
+        assert picked == int(np.argmin(cost[0]))
+
+
+def test_line_assign_tie_equivalence_small_vs_numpy():
+    """A tie-heavy 1×m case must produce identical features through the
+    small-list path (m ≤ 8) and the numpy path (m > 8, padded with
+    strictly-worse columns so the argmin fast path faces the same tie)."""
+    a_desc, a_qty, a_up, a_amt = ["widget"], [2.0], [10.0], [20.0]
+    b_desc = ["widget", "widget", "other"]
+    b_qty = [2.0, 2.0, 9.0]
+    b_up = [10.0, 10.0, 99.0]
+    b_amt = [20.0, 20.0, 891.0]
+    small = K.line_assign_features_arrays(
+        a_desc, a_qty, a_up, a_amt, b_desc, b_qty, b_up, b_amt
+    )
+    pad = 9  # push m over the ≤8 threshold with strictly-worse columns
+    big = K.line_assign_features_arrays(
+        a_desc, a_qty, a_up, a_amt,
+        b_desc + ["zzz"] * pad, b_qty + [50.0] * pad,
+        b_up + [999.0] * pad, b_amt + [49950.0] * pad,
+    )
+    assert small == big

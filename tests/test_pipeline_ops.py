@@ -145,3 +145,46 @@ def test_multimodal_features_and_frames(spark):
     vids = media.where(F.col("kind") == "video").count()
     assert len(frames) == vids * 3  # 3500ms at 1000ms sampling -> 3 frames
     assert all(len(r["frame_sha256"]) == 64 for r in frames)
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """A degenerate band bucket (identical flood docs) is dropped by
+    max_bucket, bounding the candidate join; small buckets are untouched."""
+    flood = [(i, "identical flood text that collapses to one signature value")
+             for i in range(30)]
+    pairq = [
+        (100, "a genuinely unique document about alpha beta gamma delta"),
+        (101, "a genuinely unique document about alpha beta gamma delta"),
+    ]
+    docs = spark.createDataFrame(flood + pairq, "doc_id long, text string")
+    guarded = {(r["a_id"], r["b_id"])
+               for r in dedup.simhash_near_duplicates(docs, max_bucket=10).collect()}
+    assert (100, 101) in guarded
+    assert not any(a < 100 and b < 100 for a, b in guarded)  # flood pairs dropped
+    unguarded = {(r["a_id"], r["b_id"])
+                 for r in dedup.simhash_near_duplicates(docs, max_bucket=None).collect()}
+    assert sum(1 for a, b in unguarded if a < 100 and b < 100) == 30 * 29 // 2
+
+
+def test_hyperplane_signature_null_and_ragged_guard(spark):
+    """Null / wrong-dimension embedding cells degrade to NULL signatures
+    instead of raising inside the Arrow batch (round-2 ADVICE)."""
+    rows = [(1, [0.5] * 8), (2, None), (3, [0.1] * 5), (4, [-0.5] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id",
+            similarity.hyperplane_signature(F.col("embedding"), dim=8, bits=12).alias("sig"),
+        ).collect()
+    }
+    assert out[2] is None and out[3] is None
+    assert out[1] is not None and out[4] is not None
+    # valid rows score identically with and without malformed neighbors
+    clean = {
+        r["vec_id"]: r["sig"]
+        for r in spark.createDataFrame([rows[0], rows[3]], "vec_id long, embedding array<double>")
+        .select("vec_id", similarity.hyperplane_signature(F.col("embedding"), dim=8, bits=12).alias("sig"))
+        .collect()
+    }
+    assert clean[1] == out[1] and clean[4] == out[4]
