@@ -8,12 +8,13 @@ span model's ``media_ref`` resolves to rows of a media table:
                       duration_ms int, mime string>)
 
 Decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The actual codecs (PIL/ffmpeg/torchaudio) are not
-in this container, so the decode step is STUBBED: ``decode_stub=True``
-produces a deterministic fake feature vector from the payload bytes,
-keeping the Spark-side contract (schema, batching, partitioning) real and
-tested; swap ``_decode_image``/``_decode_audio`` for real codecs in
-production.
+``mapInPandas`` stages. General codec libraries (PIL/ffmpeg/torchaudio)
+are not in this container, so ``decode_stub=True`` (the default) derives
+a deterministic fake feature vector from the payload bytes; with
+``decode_stub=False`` one REAL pure-numpy decoder per modality is wired
+in — uncompressed 24-bit BMP for images and PCM-16 WAV for audio (both
+formats are public fixed layouts that need no codec library). Payloads in
+any other format fail per-row (``decode_ok=False``), never the job.
 """
 
 from __future__ import annotations
@@ -38,14 +39,95 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_key string, frame_idx int, frame_sha256 string"
 
 
-def _decode_image(payload: bytes, meta) -> np.ndarray:
-    """STUB — no image codec in this container.
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Pure-numpy decoder for uncompressed 24-bit BMP (BITMAPINFOHEADER).
 
-    Real implementation: PIL.Image.open(BytesIO(payload)) → resize →
-    np.asarray. The stub derives a deterministic 64-dim vector from a
-    sha256 stream of the payload so downstream plumbing is testable.
+    Returns (h, w, 3) uint8 RGB. Raises ValueError for any other format —
+    the per-row try/except in the mapInPandas stage turns that into
+    ``decode_ok=False``.
     """
-    raise NotImplementedError("image codec not available in sandbox; use decode_stub=True")
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    hdr = int.from_bytes(payload[14:18], "little")
+    if hdr < 40:
+        raise ValueError("unsupported BMP header")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        raise ValueError("only uncompressed 24-bit BMP is supported")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
+    if len(payload) < off + stride * h:
+        raise ValueError("truncated BMP")
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    rows = data.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    img = rows[::-1] if bottom_up else rows
+    return img[..., ::-1]  # stored BGR → RGB
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Pure-numpy decoder for PCM-16 RIFF/WAVE. Returns (mono float32
+    samples in [-1, 1], sample_rate). Raises ValueError otherwise."""
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, channels, data = 12, None, 1, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            if int.from_bytes(body[0:2], "little") != 1:
+                raise ValueError("only PCM WAV is supported")
+            channels = int.from_bytes(body[2:4], "little") or 1
+            rate = int.from_bytes(body[4:8], "little")
+            if int.from_bytes(body[14:16], "little") != 16:
+                raise ValueError("only 16-bit PCM is supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks pad to even offsets
+    if data is None or rate is None:
+        raise ValueError("missing fmt/data chunk")
+    x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.float32) / 32768.0
+    if channels > 1:
+        x = x[: len(x) // channels * channels].reshape(-1, channels).mean(axis=1)
+    return x, int(rate)
+
+
+def _decode_image(payload: bytes, meta, dim: int = 64) -> np.ndarray:
+    """Real image path: BMP → grayscale → block-mean resize to a √dim
+    grid → [0, 1] floats. (PIL would slot in here for general formats.)"""
+    img = decode_bmp(payload)
+    gray = img.astype(np.float64).mean(axis=2)
+    g = max(int(np.sqrt(dim)), 1)
+    h, w = gray.shape
+    ri = np.linspace(0, h, g + 1).astype(int)
+    ci = np.linspace(0, w, g + 1).astype(int)
+    out = np.empty((g, g), dtype=np.float32)
+    for i in range(g):
+        for j in range(g):
+            block = gray[ri[i] : max(ri[i + 1], ri[i] + 1), ci[j] : max(ci[j + 1], ci[j] + 1)]
+            out[i, j] = block.mean()
+    vec = (out / 255.0).reshape(-1)
+    if len(vec) < dim:  # non-square dim: pad with the global mean
+        vec = np.concatenate([vec, np.full(dim - len(vec), vec.mean(), dtype=np.float32)])
+    return vec[:dim]
+
+
+def _decode_audio(payload: bytes, meta, dim: int = 64) -> np.ndarray:
+    """Real audio path: PCM-16 WAV → rFFT magnitude → ``dim`` band means
+    (log1p-compressed, peak-normalized)."""
+    x, _rate = decode_wav(payload)
+    if len(x) == 0:
+        raise ValueError("empty WAV data")
+    mag = np.abs(np.fft.rfft(x))
+    bands = np.array_split(mag, dim)
+    vec = np.log1p(np.array([b.mean() if len(b) else 0.0 for b in bands], dtype=np.float32))
+    peak = vec.max()
+    return vec / peak if peak > 0 else vec
 
 
 def _fake_features(payload: bytes, dim: int = 64) -> np.ndarray:
@@ -74,12 +156,16 @@ def extract_media_features(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats, ok = [], []
-            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+            for payload, kind, meta in zip(pdf["payload"], pdf["kind"], pdf["meta"]):
                 try:
                     if decode_stub:
                         vec = _fake_features(payload, dim)
+                    elif kind == "image":
+                        vec = _decode_image(payload, meta, dim)
+                    elif kind == "audio":
+                        vec = _decode_audio(payload, meta, dim)
                     else:
-                        vec = _decode_image(payload, meta)
+                        raise ValueError(f"no real decoder for kind={kind}")
                     feats.append([float(x) for x in vec])
                     ok.append(True)
                 except Exception:  # noqa: BLE001 — per-row decode failures must not kill the job

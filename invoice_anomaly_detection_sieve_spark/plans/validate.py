@@ -77,7 +77,12 @@ def doc_verdicts_from_docs(
         if baseline_profiles is not None
         else profile.profile(docs, "total")
     )
-    hist = profile.group_history_counts(docs)
+    # history size comes off the profile row (cnt), not a second full
+    # aggregation over the corpus: same number under self-profiling, and
+    # under stored baselines it is the HISTORY's count — what the
+    # reference's vendor-history discount actually reads
+    # (app/anomaly.py:32-41). One fewer corpus pass + broadcast per run.
+    hist = profiles.select(F.col("part"), F.col("cnt").alias("part_doc_count"))
 
     # duplicate sieve: blocking join -> pair features -> per-doc rollup
     pair_ids = blocking.candidate_pairs(docs, cap=cfg.candidate_cap, max_key_fanout=cfg.max_key_fanout)
