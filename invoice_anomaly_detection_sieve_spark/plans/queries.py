@@ -927,7 +927,12 @@ def q_near_dups_verified(spark, sf_dir):
     from ..operators import dedup
 
     d = _t(spark, sf_dir, "documents")
-    out = dedup.near_duplicates(d, threshold=0.7, num_hashes=16, bands=16)
+    # max_bucket=None: the oracle computes EXACT recall, so the hot-bucket
+    # guard must be off or dropped buckets make Spark a strict subset of
+    # the oracle on duplicate-heavy corpora (round-3 ADVICE, medium).
+    out = dedup.near_duplicates(
+        d, threshold=0.7, num_hashes=16, bands=16, max_bucket=None
+    )
     return out.select("a_id", "b_id", _r(F.col("jaccard"), 6).alias("jaccard_r"))
 
 

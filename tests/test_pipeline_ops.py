@@ -65,6 +65,16 @@ def test_simhash_near_duplicates(textdocs):
     assert (1, 2) in pairs
 
 
+def test_dedup_leaks_no_cache(spark, textdocs):
+    # round-3 VERDICT item 6: dedup operators must not leave persisted
+    # tables behind after the consuming action (long-session hygiene)
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    dedup.near_duplicates(textdocs, threshold=0.5).collect()
+    dedup.simhash_near_duplicates(textdocs, max_hamming=3).collect()
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after == before
+
+
 def test_brute_force_topk_matches_numpy(spark):
     rng = np.random.RandomState(0)
     vecs = rng.randn(30, 8).astype("float32")
