@@ -145,32 +145,59 @@ def _pad_codes(strs: list[str], length: int) -> np.ndarray:
     1:1 encoding works: latin-1 (uint8, 4× less memory traffic — the
     batch is bandwidth-bound under concurrent workers) when every string
     fits, else utf-32 codepoints."""
+    pad = b"\x00" * length
     try:
-        out = np.zeros((len(strs), length), dtype=np.uint8)
-        for i, s in enumerate(strs):
-            if s:
-                out[i, : len(s)] = np.frombuffer(s.encode("latin-1"), dtype=np.uint8)
-        return out
+        joined = b"".join(
+            (s.encode("latin-1") + pad)[:length] if s else pad for s in strs
+        )
+        return np.frombuffer(joined, dtype=np.uint8).reshape(len(strs), length)
     except UnicodeEncodeError:
-        out = np.zeros((len(strs), length), dtype=np.uint32)
-        for i, s in enumerate(strs):
-            if s:
-                out[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
-        return out
+        pad4 = b"\x00" * (4 * length)
+        joined = b"".join(
+            (s.encode("utf-32-le") + pad4)[: 4 * length] if s else pad4 for s in strs
+        )
+        return np.frombuffer(joined, dtype=np.uint32).reshape(len(strs), length)
+
+
+# Cache-blocking size for jw_batch: each masked pass streams ~8 arrays of
+# `block × length` bytes, so 2048 pairs × ≤48 chars ≈ 100 KiB per array —
+# L2-resident. The unblocked formulation streamed the FULL miss set
+# (measured 260k pairs ⇒ ~6 GB of DRAM traffic per warm call) through
+# every one of the ~L·(2w+1) masked steps, which is exactly the shared
+# memory-bandwidth wall the round-3 kernel ladder measured at 32 workers
+# (419 → 839 µs/pair). Blocking keeps the traffic cache-local without
+# changing a single float: each block runs the identical vector program.
+_JW_BLOCK = 2048
 
 
 def jw_batch(a_strs: list[str], b_strs: list[str], prefix_weight: float = 0.1) -> np.ndarray:
-    """Jaro-Winkler for N string pairs in one vectorized pass.
+    """Jaro-Winkler for N string pairs: cache-blocked vectorized passes.
 
-    Exact re-expression of ``jaro_winkler_similarity`` (same greedy
-    window matching, same transposition walk, same float op order) with
-    the per-character loops lifted to masked (N,)-array operations:
-    O(Lmax²) vector steps over the batch instead of O(L²) Python steps
-    per pair. Parity is pinned by tests/test_kernels.py.
+    Exact re-expression of ``jaro_winkler_similarity`` (same greedy window
+    matching, same transposition walk, same float op order); parity pinned
+    by tests/test_kernels.py. Pairs are sorted by max length so each block
+    pads to ITS longest string (short blocks run fewer masked steps), then
+    results scatter back to input order.
     """
     n_pairs = len(a_strs)
     if n_pairs == 0:
         return np.zeros(0)
+    if n_pairs > _JW_BLOCK:
+        order = sorted(
+            range(n_pairs), key=lambda i: max(len(a_strs[i]), len(b_strs[i]))
+        )
+        out = np.empty(n_pairs)
+        for lo in range(0, n_pairs, _JW_BLOCK):
+            idx = order[lo : lo + _JW_BLOCK]
+            out[idx] = _jw_batch_block(
+                [a_strs[i] for i in idx], [b_strs[i] for i in idx], prefix_weight
+            )
+        return out
+    return _jw_batch_block(a_strs, b_strs, prefix_weight)
+
+
+def _jw_batch_block(a_strs: list[str], b_strs: list[str], prefix_weight: float) -> np.ndarray:
+    n_pairs = len(a_strs)
     n1 = np.array([len(s) for s in a_strs], dtype=np.int64)
     n2 = np.array([len(s) for s in b_strs], dtype=np.int64)
     length = int(max(int(n1.max(initial=0)), int(n2.max(initial=0)), 1))

@@ -64,6 +64,47 @@ def test_ks_detects_shift(spark, docs):
     assert out["P2"]["n_current"] == out["P2"]["n_baseline"]
 
 
+def test_ks_windowed_matches_pandas_reference(spark):
+    # parity: the windowed cumulative-count plan must reproduce the
+    # grouped-map numpy statistic BIT-exactly, including ties and a
+    # skewed hot partition far larger than the others
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    rows = []
+    for part, n_c, n_b, shift in (
+        ("hot", 60_000, 50_000, 0.3),   # skewed partition
+        ("small", 40, 25, 0.0),
+        ("tied", 500, 500, 0.0),
+    ):
+        cur_v = rng.randn(n_c) + shift
+        base_v = rng.randn(n_b)
+        if part == "tied":  # heavy ties: integer-valued samples
+            cur_v = np.round(cur_v * 2)
+            base_v = np.round(base_v * 2)
+        rows += [(part, float(v), "c") for v in cur_v]
+        rows += [(part, float(v), "b") for v in base_v]
+    df = spark.createDataFrame(rows, "part string, total double, src string")
+    cur, base = df.where("src = 'c'"), df.where("src = 'b'")
+    got = {r["part"]: r.asDict() for r in drift.ks_2samp(cur, base, "total").collect()}
+    want = {r["part"]: r.asDict() for r in drift.ks_2samp_pandas(cur, base, "total").collect()}
+    assert set(got) == set(want)
+    for part in want:
+        assert got[part]["n_current"] == want[part]["n_current"]
+        assert got[part]["n_baseline"] == want[part]["n_baseline"]
+        assert got[part]["ks_stat"] == want[part]["ks_stat"], part
+
+
+def test_ks_empty_side_is_nan(spark):
+    import math as _math
+
+    cur = spark.createDataFrame([("P0", 1.0), ("P1", 2.0)], "part string, total double")
+    base = spark.createDataFrame([("P0", 1.5)], "part string, total double")
+    out = {r["part"]: r.asDict() for r in drift.ks_2samp(cur, base, "total").collect()}
+    assert _math.isnan(out["P1"]["ks_stat"]) and out["P1"]["n_baseline"] == 0
+    assert out["P0"]["ks_stat"] == 1.0
+
+
 def test_train_duplicate_model(spark, docs):
     model = train.train_duplicate_model(docs, cap=50)
     assert model["n_pairs"] > 100
