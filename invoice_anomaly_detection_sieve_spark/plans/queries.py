@@ -1115,6 +1115,39 @@ def q_isolation_forest(spark, sf_dir):
     return isolation_scores(e)
 
 
+def q_isolation_forest_verified(spark, sf_dir):
+    """Verified-output companion to m7_isolation_forest (the
+    dedup_near_dups_verified playbook): plant GROSS outliers — inliers sit
+    in [0, 0.99], planted rows at ≥ 1000 (>10³× the inlier IQR) on a
+    deterministic slice (doc_id % 97 == 0) — and assert the forest's
+    iso_flag ≡ the planted set, which DuckDB computes independently from
+    the same arithmetic. The forest itself stays the REAL operator
+    (hash-ranked bounded fit pool, broadcast models, mapInPandas scoring);
+    only the corpus is constructed so the correct answer is
+    engine-independent."""
+    from ..operators.mlmodels import isolation_scores
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("G"), (F.col("doc_id") % 3).cast("string")).alias("part"),
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 97 == 0,
+            F.lit(1000.0) + (F.col("doc_id") % 10).cast("double"),
+        )
+        .otherwise((F.col("doc_id") % 100).cast("double") * 0.01)
+        .alias("total"),
+    )
+    return isolation_scores(d).select("part", "doc_id", "iso_flag")
+
+
+SQL_ISOLATION_FOREST_VERIFIED = """
+SELECT 'G' || CAST(doc_id % 3 AS VARCHAR) AS part,
+       CAST(doc_id AS VARCHAR) AS doc_id,
+       (doc_id % 97 = 0) AS iso_flag
+FROM documents
+"""
+
+
 def q_ks_drift(spark, sf_dir):
     """M7: exact two-sample KS per group via applyInPandas (grouped-map
     numpy kernel). Oracle-checked: the statistic is max over the pooled
@@ -1192,6 +1225,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m7_ks_drift": q_ks_drift,
     "m7_psi_drift": q_psi_drift,
     "m7_isolation_forest": q_isolation_forest,
+    "m7_isolation_forest_verified": q_isolation_forest_verified,
 }
 
 ORACLES: dict[str, str] = {
@@ -1223,6 +1257,7 @@ ORACLES: dict[str, str] = {
     "txt_lang_id": SQL_LANG_ID,
     "dedup_near_dups_verified": SQL_NEAR_DUPS_VERIFIED,
     "dedup_simhash_verified": SQL_SIMHASH_VERIFIED,
+    "m7_isolation_forest_verified": SQL_ISOLATION_FOREST_VERIFIED,
     # dedup_minhash_lsh / dedup_simhash: rows-only (raw xxhash64-seeded
     # signatures are engine-specific); their VERIFIED outputs are
     # oracle-checked above (dedup_near_dups_verified /

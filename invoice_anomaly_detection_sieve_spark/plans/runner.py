@@ -64,6 +64,72 @@ def read_run_violations(catalog: ParquetCatalog, run_id: str) -> DataFrame:
     return v.dropDuplicates(["run_id", "doc_id", "reason_code"])
 
 
+def last_consumed_snapshot(catalog: ParquetCatalog) -> int:
+    """Highest documents-table snapshot id a COMPLETE ledgered run has
+    consumed (0 when no incremental run has happened yet)."""
+    if not catalog.exists(LEDGER_TABLE):
+        return 0
+    # mergeSchema: ledgers written before the column existed mix with new
+    # appends; the merged schema nulls the old rows instead of dropping
+    # the column when an old footer wins schema inference
+    led = catalog.spark.read.option("recursiveFileLookup", "true").option(
+        "mergeSchema", "true"
+    ).parquet(catalog._data_dir(LEDGER_TABLE))
+    if "consumed_snapshot_id" not in led.columns:
+        return 0
+    row = (
+        led.where(F.col("status") == COMPLETE)
+        .agg(F.max("consumed_snapshot_id"))
+        .first()
+    )
+    return int(row[0] or 0)
+
+
+def run_incremental(
+    spark: SparkSession,
+    catalog: ParquetCatalog,
+    documents_table: str,
+    media_registry: DataFrame,
+    source_catalog: ParquetCatalog | None = None,
+    **run_kwargs,
+) -> dict:
+    """Validate only the documents appended since the last COMPLETE
+    incremental run (OPS-002 requirements.md:325; the Iceberg
+    incremental-scan story, scripts/backfill_score.py:16-38).
+
+    The documents table lives in ``source_catalog`` (default: the output
+    catalog). Snapshot bookkeeping: each run's ledger rows carry the
+    documents-table snapshot id it consumed; the next run reads
+    ``read_since(max consumed id)``. A first-ever incremental run (no
+    consumed id on record) validates the FULL table, so overwrite-created
+    tables are covered. When no snapshot is newer, the run is a no-op —
+    nothing is scanned, appended, or ledgered.
+    """
+    src = source_catalog or catalog
+    current = src.latest_snapshot_id(documents_table)
+    since = last_consumed_snapshot(catalog)
+    if current <= since:
+        return {
+            "run_id": None,
+            "docs_validated": 0,
+            "no_op": True,
+            "snapshot_since": since,
+            "snapshot_consumed": since,
+            "wall_time_sec": 0.0,
+            "docs_per_sec": 0.0,
+            "parts_skipped_resume": 0,
+        }
+    docs = src.read(documents_table) if since == 0 else src.read_since(documents_table, since)
+    metrics = run(
+        spark, docs, media_registry, catalog,
+        consumed_snapshot_id=current, **run_kwargs,
+    )
+    metrics["no_op"] = False
+    metrics["snapshot_since"] = since
+    metrics["snapshot_consumed"] = current
+    return metrics
+
+
 def run(
     spark: SparkSession,
     documents: DataFrame,
@@ -75,6 +141,7 @@ def run(
     configs: DataFrame | None = None,
     run_ts: str = "2025-01-01 00:00:00",
     enable_cases: bool = True,
+    consumed_snapshot_id: int | None = None,
 ) -> dict:
     """Execute (or resume) a validation run; write all outputs through the
     catalog. ``configs`` (S12) overrides decision thresholds from data;
@@ -126,6 +193,9 @@ def run(
             # wall time to the plan; the column name says what it is)
             F.lit(float(elapsed)).alias("run_wall_time_sec"),
             F.lit(COMPLETE).alias("status"),
+            # documents-table snapshot this run consumed (incremental
+            # mode); NULL for plain DataFrame runs
+            F.lit(consumed_snapshot_id).cast("long").alias("consumed_snapshot_id"),
         )
         catalog.append(LEDGER_TABLE, ledger)
         part_v.unpersist()
@@ -148,7 +218,12 @@ def main(argv: list[str] | None = None) -> None:
     from ..session import get_spark
 
     p = argparse.ArgumentParser(description="sieve-spark validation run")
-    p.add_argument("--documents", required=True, help="parquet path of the documents table")
+    p.add_argument("--documents", default=None, help="parquet path of the documents table")
+    p.add_argument("--documents-table", default=None,
+                   help="catalog table name of the documents table (for --incremental)")
+    p.add_argument("--incremental", action="store_true",
+                   help="validate only documents appended since the last "
+                        "COMPLETE incremental run (no-op when nothing is new)")
     p.add_argument("--registry", required=True, help="parquet path of the media registry")
     p.add_argument("--warehouse", required=True, help="catalog root for outputs")
     p.add_argument("--run-id", default=None)
@@ -157,9 +232,18 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("sieve-validate", cores=args.cores)
     catalog = ParquetCatalog(spark, args.warehouse)
-    documents = spark.read.parquet(args.documents)
     registry = spark.read.parquet(args.registry)
-    metrics = run(spark, documents, registry, catalog, run_id=args.run_id)
+    if args.incremental:
+        if not args.documents_table:
+            p.error("--incremental requires --documents-table")
+        metrics = run_incremental(
+            spark, catalog, args.documents_table, registry, run_id=args.run_id
+        )
+    else:
+        if not args.documents:
+            p.error("--documents is required without --incremental")
+        documents = spark.read.parquet(args.documents)
+        metrics = run(spark, documents, registry, catalog, run_id=args.run_id)
     print(metrics)
 
 

@@ -77,6 +77,11 @@ def doc_verdicts_from_docs(
         if baseline_profiles is not None
         else profile.profile(docs, "total")
     )
+    # a stored baseline may carry one row per (part, field) — e.g. from
+    # train_baselines(fields=(...)); the anomaly path reads the 'total'
+    # profile, so pin it or the prof/hist joins fan out per extra field
+    if "field" in profiles.columns:
+        profiles = profiles.where(F.col("field") == "total")
     # history size comes off the profile row (cnt), not a second full
     # aggregation over the corpus: same number under self-profiling, and
     # under stored baselines it is the HISTORY's count — what the
@@ -257,6 +262,10 @@ def run_validation(
     profiles = (
         baseline_profiles if baseline_profiles is not None else profile.profile(docs, "total")
     )
+    # pin the validated field: multi-field stored baselines (one row per
+    # part × field) would fan out the profile joins and Benford stats
+    if "field" in profiles.columns:
+        profiles = profiles.where(F.col("field") == "total")
     verdicts = doc_verdicts_from_docs(docs, media_registry, profiles, cfg)
     benford = drift.benford_stats(profiles) if cfg.enable_benford else None
     return {

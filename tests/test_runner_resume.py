@@ -57,6 +57,50 @@ def test_resume_skips_completed_partitions(spark, tmp_path, corpus):
     assert catalog.read("doc_verdicts").where(F.col("run_id") == "r1").count() == documents.count()
 
 
+def test_incremental_validation_across_runs(spark, tmp_path, corpus):
+    """Round-3 VERDICT task 4: day-two incremental validation — append
+    docs after a completed run; the next incremental run validates ONLY
+    the new docs, a third is a no-op, and the outputs union to the full
+    table's verdicts."""
+    documents, registry = corpus
+    catalog = ParquetCatalog(spark, str(tmp_path / "whi"))
+    cfg = V.ValidationConfig(dq_as_of="2024-04-01")
+
+    part = part_of(F.col("doc_id"))
+    batch1 = documents.where(part.isin("P0", "P1"))
+    batch2 = documents.where(~part.isin("P0", "P1"))
+    catalog.append("documents", batch1)
+
+    m1 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
+    assert not m1["no_op"]
+    assert m1["docs_validated"] == batch1.count()
+    assert m1["snapshot_since"] == 0 and m1["snapshot_consumed"] >= 1
+
+    # day two: new docs land
+    catalog.append("documents", batch2)
+    m2 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
+    assert not m2["no_op"]
+    assert m2["docs_validated"] == batch2.count()  # ONLY the new docs
+    assert m2["snapshot_since"] == m1["snapshot_consumed"]
+
+    # ledger records both runs with their consumed snapshot ids
+    led = catalog.read("ledger")
+    consumed = {r["run_id"]: r["consumed_snapshot_id"]
+                for r in led.select("run_id", "consumed_snapshot_id").distinct().collect()}
+    assert consumed[m1["run_id"]] == m1["snapshot_consumed"]
+    assert consumed[m2["run_id"]] == m2["snapshot_consumed"]
+
+    # nothing new -> no-op: nothing scanned, appended, or ledgered
+    n_verd = catalog.read("doc_verdicts").count()
+    m3 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
+    assert m3["no_op"] and m3["docs_validated"] == 0 and m3["run_id"] is None
+    assert catalog.read("doc_verdicts").count() == n_verd
+
+    # the two incremental runs union to the full table's verdict set
+    verd = catalog.read("doc_verdicts")
+    assert verd.select("doc_id").distinct().count() == documents.count()
+
+
 def test_catalog_merge_and_incremental_read(spark, tmp_path):
     cat = ParquetCatalog(spark, str(tmp_path / "cat"))
     df1 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")

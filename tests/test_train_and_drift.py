@@ -155,6 +155,40 @@ def test_isolation_forest_ranks_planted_outliers(spark):
     assert again == by_doc
 
 
+def test_multi_field_baseline_does_not_fan_out(spark, docs):
+    """A stored baseline with one row per (part, field) must not
+    duplicate verdict rows through the profile joins (round-3 ADVICE):
+    the validated field is pinned to 'total'."""
+    from invoice_anomaly_detection_sieve_spark.plans import validate as V
+
+    multi = train.train_baselines(docs, fields=("total", "tax_total"))
+    reg = spark.createDataFrame(
+        [("P0", "m0", "2024-01-01", "2024-02-01")],
+        "part string, media_key string, first_seen string, last_seen string",
+    )
+    single = V.doc_verdicts_from_docs(docs, reg, baseline_profiles=train.train_baselines(docs))
+    both = V.doc_verdicts_from_docs(docs, reg, baseline_profiles=multi)
+    n_docs = docs.count()
+    assert both.count() == n_docs == single.count()
+    assert both.groupBy("doc_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_isolation_scores_group_cardinality_guard(spark):
+    """The broadcast of fitted models is O(groups) driver memory; past
+    max_groups the call must fail fast with an explicit message
+    (round-3 VERDICT item 7), not OOM mid-collect."""
+    import pytest as _pytest
+
+    from invoice_anomaly_detection_sieve_spark.operators import mlmodels as M
+
+    rows = [(f"g{i}", f"d{i}", float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "part string, doc_id string, total double")
+    with _pytest.raises(ValueError, match="max_groups"):
+        M.isolation_scores(df, max_groups=10)
+    # at/under the threshold it runs
+    assert M.isolation_scores(df, max_groups=50).count() == 50
+
+
 def test_isolation_scores_skewed_partition_streams_batches(spark):
     """A group ≫ the fit sample must stream through scoring in O(batch)
     memory (mapInPandas) AND produce exactly the scores a single-pass
