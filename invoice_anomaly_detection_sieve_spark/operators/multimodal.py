@@ -12,9 +12,10 @@ Decode / feature-extract / resize / frame-sample run as Arrow-batched
 are not in this container, so ``decode_stub=True`` (the default) derives
 a deterministic fake feature vector from the payload bytes; with
 ``decode_stub=False`` one REAL pure-numpy decoder per modality is wired
-in — uncompressed 24-bit BMP for images and PCM-16 WAV for audio (both
-formats are public fixed layouts that need no codec library). Payloads in
-any other format fail per-row (``decode_ok=False``), never the job.
+in — uncompressed 24-bit BMP for images, PCM-16 WAV for audio, and
+YUV4MPEG2 (y4m) for video frame sampling (all public fixed layouts that
+need no codec library). Payloads in any other format fail per-row
+(``decode_ok=False`` / no emitted frames), never the job.
 """
 
 from __future__ import annotations
@@ -95,6 +96,86 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if channels > 1:
         x = x[: len(x) // channels * channels].reshape(-1, channels).mean(axis=1)
     return x, int(rate)
+
+
+def decode_y4m(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Pure-numpy decoder for uncompressed YUV4MPEG2 (y4m) video.
+
+    The container is a public fixed layout (mjpegtools): an ASCII stream
+    header ``YUV4MPEG2 W<w> H<h> F<num>:<den> [C<space>] ...\\n`` followed
+    by ``FRAME[params]\\n`` + raw planar YCbCr per frame. Supports C420*
+    (chroma quarter-size, upsampled by pixel doubling) and C444; mono
+    (Cmono) decodes luma-only replicated to 3 channels. Returns
+    (frames, fps) with each frame an (h, w, 3) uint8 RGB array via the
+    BT.601 full-range matrix. Raises ValueError for anything else — the
+    per-row try/except in the mapInPandas stage turns that into a failed
+    row, never a failed job.
+    """
+    if payload is None or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("missing y4m stream header terminator")
+    w = h = 0
+    fps = 25.0
+    chroma = "420"
+    for tok in payload[9:nl].split():
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            num, den = t[1:].split(":")
+            fps = int(num) / max(int(den), 1)
+        elif t[0] == "C":
+            chroma = t[1:]
+    if w <= 0 or h <= 0:
+        raise ValueError("y4m header missing W/H")
+    if chroma.startswith("420"):
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+    elif chroma == "444":
+        cw, ch = w, h
+    elif chroma == "mono":
+        cw = ch = 0
+    else:
+        raise ValueError(f"unsupported y4m chroma mode C{chroma}")
+    ysz, csz = w * h, cw * ch
+    frames: list[np.ndarray] = []
+    pos = nl + 1
+    while pos < len(payload):
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("missing FRAME header terminator")
+        pos = fnl + 1
+        if pos + ysz + 2 * csz > len(payload):
+            raise ValueError("truncated y4m frame")
+        y = np.frombuffer(payload, np.uint8, ysz, pos).reshape(h, w)
+        if chroma == "mono":
+            rgb = np.repeat(y[:, :, None], 3, axis=2)
+        else:
+            cb = np.frombuffer(payload, np.uint8, csz, pos + ysz).reshape(ch, cw)
+            cr = np.frombuffer(payload, np.uint8, csz, pos + ysz + csz).reshape(ch, cw)
+            if chroma.startswith("420"):  # pixel-doubling upsample
+                cb = cb.repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+                cr = cr.repeat(2, 0)[:h].repeat(2, 1)[:, :w]
+            yf = y.astype(np.float32)
+            cbf = cb.astype(np.float32) - 128.0
+            crf = cr.astype(np.float32) - 128.0
+            rgb = np.stack(
+                [
+                    yf + 1.402 * crf,
+                    yf - 0.344136 * cbf - 0.714136 * crf,
+                    yf + 1.772 * cbf,
+                ],
+                axis=2,
+            )
+            rgb = np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+        frames.append(rgb)
+        pos += ysz + 2 * csz
+    return frames, float(fps)
 
 
 def _decode_image(payload: bytes, meta, dim: int = 64) -> np.ndarray:
@@ -184,21 +265,41 @@ def extract_media_features(
     return media.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Frame-sampling plumbing for video rows: emits (media_key,
-    frame_idx, frame hash) per sampled frame. The decode is stubbed with a
-    deterministic payload-slice hash; the fan-out shape (one row per
-    sampled frame, governed by meta.duration_ms) is the real contract."""
+def sample_frames(media: DataFrame, every_ms: int = 1000, decode_stub: bool = True) -> DataFrame:
+    """Frame sampling for video rows: emits (media_key, frame_idx,
+    frame hash) per sampled frame — one output row per sampled frame, the
+    fan-out governed by the video's own timing.
+
+    ``decode_stub=False`` runs the REAL pure-numpy YUV4MPEG2 decoder
+    (``decode_y4m``): the payload's frames are decoded to RGB, sampled at
+    the stream's frame rate every ``every_ms``, and each emitted hash is
+    the sha256 of the sampled frame's actual pixel bytes (frame_idx = the
+    source frame index). Undecodable payloads fail per-row, never the job.
+    With the stub (default), the sampled-frame count comes from
+    ``meta.duration_ms`` and hashes are deterministic payload-slice
+    hashes — the fan-out shape without a codec dependency.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             keys, idxs, hashes = [], [], []
             for key, payload, meta in zip(pdf["media_key"], pdf["payload"], pdf["meta"]):
+                raw = payload or b""
+                if not decode_stub:
+                    try:
+                        frames, fps = decode_y4m(raw)
+                    except ValueError:
+                        continue  # undecodable row: contributes no frames
+                    step = max(1, int(round(fps * every_ms / 1000.0)))
+                    for i in range(0, len(frames), step):
+                        keys.append(key)
+                        idxs.append(i)
+                        hashes.append(hashlib.sha256(frames[i].tobytes()).hexdigest())
+                    continue
                 duration = 0
                 if meta is not None:
                     duration = (meta.get("duration_ms") if isinstance(meta, dict) else meta["duration_ms"]) or 0
                 n_frames = max(1, duration // every_ms)
-                raw = payload or b""
                 for i in range(int(n_frames)):
                     keys.append(key)
                     idxs.append(i)

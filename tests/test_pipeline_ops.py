@@ -265,6 +265,52 @@ def test_multimodal_real_bmp_wav_decoders(spark):
     assert max(tone_feat) == 1.0
 
 
+def _encode_y4m(frames_yuv, fps=(25, 1), chroma="420"):
+    """Minimal YUV4MPEG2 writer (test fixture): frames_yuv is a list of
+    (Y, Cb, Cr) uint8 planes (Cb/Cr quarter-size for 420)."""
+    h, w = frames_yuv[0][0].shape
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n".encode()
+    )
+    for y, cb, cr in frames_yuv:
+        out += b"FRAME\n" + y.tobytes() + cb.tobytes() + cr.tobytes()
+    return bytes(out)
+
+
+def test_decode_y4m_real_video_frames(spark):
+    """decode_stub=False in sample_frames runs the REAL y4m decoder:
+    emitted hashes are sha256 of actual decoded RGB pixel bytes, sampled
+    at the stream's own frame rate."""
+    # 4 frames of 4x4 video at 2 fps: luma ramps per frame, neutral chroma
+    frames = []
+    for i in range(4):
+        y = np.full((4, 4), 40 * i + 16, dtype=np.uint8)
+        c = np.full((2, 2), 128, dtype=np.uint8)
+        frames.append((y, c, c))
+    payload = _encode_y4m(frames, fps=(2, 1))
+
+    # pure-python parity check against the decoder directly
+    decoded, fps = multimodal.decode_y4m(payload)
+    assert fps == 2.0 and len(decoded) == 4
+    # neutral chroma -> RGB == luma replicated
+    assert decoded[0].shape == (4, 4, 3)
+    assert int(decoded[2][0, 0, 0]) == 96 and len(set(decoded[2].reshape(-1).tolist())) == 1
+
+    rows = [
+        ("vid-ok", "video", bytearray(payload), None),
+        ("vid-bad", "video", bytearray(b"not a y4m"), None),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    # every_ms=1000 at 2 fps -> every 2nd frame: indices 0 and 2
+    got = multimodal.sample_frames(media, every_ms=1000, decode_stub=False).collect()
+    by = {(r["media_key"], r["frame_idx"]): r["frame_sha256"] for r in got}
+    assert set(by) == {("vid-ok", 0), ("vid-ok", 2)}
+    import hashlib as _hl
+
+    assert by[("vid-ok", 0)] == _hl.sha256(decoded[0].tobytes()).hexdigest()
+    assert by[("vid-ok", 2)] == _hl.sha256(decoded[2].tobytes()).hexdigest()
+
+
 def test_decode_bmp_roundtrip_pixels():
     img = multimodal.decode_bmp(_encode_bmp(3, 2, lambda x, y: (x * 10, y * 20, 200)))
     assert img.shape == (2, 3, 3)
