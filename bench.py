@@ -545,7 +545,6 @@ def _kernel_probe_worker(payload: tuple) -> float:
     a_inv = pd.Series([f"INV-{rng.integers(10**6):06d}" for _ in range(n_pairs)])
     b_inv = pd.Series([f"INV-{rng.integers(10**6):06d}" for _ in range(n_pairs)])
     descs = [[desc() for _ in range(4)] for _ in range(n_pairs)]
-    blobs = pd.Series([" ".join(d) for d in descs])
     qty = [np.abs(rng.standard_normal(4)) * 10 + 1 for _ in range(n_pairs)]
     ups = [np.abs(rng.standard_normal(4)) * 100 + 5 for _ in range(n_pairs)]
     amts = [q * u for q, u in zip(qty, ups)]
@@ -556,7 +555,7 @@ def _kernel_probe_worker(payload: tuple) -> float:
     for _ in range(reps):
         K._JW_CACHE.clear()
         t0 = time.perf_counter()
-        P._pair_kernel_fn(a_inv, b_inv, blobs, blobs,
+        P._pair_kernel_fn(a_inv, b_inv,
                           sdescs, sq, su, sa, sdescs, sq, su, sa)
         times.append(time.perf_counter() - t0)
     times.sort()

@@ -41,8 +41,11 @@ PAIR_PAYLOAD_COLS = [
     "payee",
     "media_key",
     "pdf_hash",
-    "desc_blob",
 ]
+# desc_blob is NOT shipped: it is bit-reconstructable from line_descs
+# (documents.py builds it as array_join of ''-coalesced desc_norm), and the
+# pair join fans every doc payload out ~200x — shipping the same characters
+# twice (blob + per-line array) doubled the Arrow string traffic.
 
 # per-line columns shipped as FLAT parallel arrays, not array<struct>: a
 # struct cell crosses Arrow as a Python dict per line (measured ~2.4 ms/pair
@@ -62,7 +65,6 @@ PAIR_KERNEL_TYPE = (
 
 def _pair_kernel_fn(
     a_inv: pd.Series, b_inv: pd.Series,
-    a_blob: pd.Series, b_blob: pd.Series,
     a_descs: pd.Series, a_qtys: pd.Series, a_ups: pd.Series, a_amts: pd.Series,
     b_descs: pd.Series, b_qtys: pd.Series, b_ups: pd.Series, b_amts: pd.Series,
 ) -> pd.DataFrame:
@@ -71,7 +73,10 @@ def _pair_kernel_fn(
     - invnum_edit = 1 − JaroWinkler (app/features.py:39), memoized per
       worker (every doc recurs across its ≤200 candidates),
     - text_cosine = Dice over distinct char-3-grams of the ' '-joined
-      desc_norm blobs (app/main.py:290-296), gram sets memoized per text,
+      desc_norm blobs (app/main.py:290-296) — the blob is reconstructed
+      here from line_descs (bit-identical to documents.py's array_join of
+      ''-coalesced desc_norm) so the same characters don't cross Arrow
+      twice; gram sets memoized per text,
     - Hungarian line-assignment features (app/features.py:47-101) over the
       flat per-line arrays.
 
@@ -99,11 +104,13 @@ def _pair_kernel_fn(
             for db in b_clean:
                 keys.add(K.jw_key(da, db))
     K.jw_warm_cache(keys)
+    blob = _blob_of  # documents.py desc_blob reconstruction
     it = zip(
-        a_inv.tolist(), b_inv.tolist(), a_blob.tolist(), b_blob.tolist(),
+        a_inv.tolist(), b_inv.tolist(),
         a_descs, a_qtys, a_ups, a_amts, b_descs, b_qtys, b_ups, b_amts,
     )
-    for i, (ai, bi, ab, bb, ad, aq, au, aa, bd, bq, bu, ba) in enumerate(it):
+    for i, (ai, bi, ad, aq, au, aa, bd, bq, bu, ba) in enumerate(it):
+        ab, bb = blob(ad), blob(bd)
         cov, frac, new_items, med = K.line_assign_features_arrays(
             ad if ad is not None else empty, aq, au, aa,
             bd if bd is not None else empty, bq, bu, ba,
@@ -115,6 +122,15 @@ def _pair_kernel_fn(
         out["invnum_edit"][i] = 1.0 - K.jw_cached(ai or "", bi or "")
         out["text_cosine"][i] = K.dice_3gram(ab or "", bb or "")
     return pd.DataFrame(out)
+
+
+def _blob_of(descs) -> str:
+    """Reconstruct documents.py's desc_blob from the line_descs array:
+    array_join of ''-coalesced desc_norm with ' ' (bit-identical, so the
+    blob never ships across Arrow)."""
+    if descs is None or len(descs) == 0:
+        return ""
+    return " ".join((d if d is not None else "") for d in descs)
 
 
 # pandas_udf parses its DDL return type against the active session, so the
@@ -165,7 +181,6 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         *[expr.alias(name) for name, expr in feats.items()],
         pair_kernel(
             F.col("a_invnum_norm"), F.col("b_invnum_norm"),
-            F.col("a_desc_blob"), F.col("b_desc_blob"),
             *[F.col("a_" + name) for name in PAIR_LINE_ARRAYS],
             *[F.col("b_" + name) for name in PAIR_LINE_ARRAYS],
         ).alias("_pk"),
