@@ -38,12 +38,15 @@ Methodology:
   actually catches those windows. Samples failing any signal are
   excluded from the best; all raw samples + signals stay in the JSON.
 - the scaling corpus is the base table replicated
-  ×SIEVE_SCALE_REPLICAS (default 6, block-key-disjoint so pair work
+  ×SIEVE_SCALE_REPLICAS (default 18, block-key-disjoint so pair work
   stays linear) so per-run fixed latency (measured ~13 s: driver plan
   compilation, stage barriers, broadcast choreography) is a small
   fraction of the N-level run the way a real long-running corpus would
   amortize it — per-replica compute scales at ~1.00 between 1 and 4
-  cores, so the fixed part is the entire efficiency gap.
+  cores, so the fixed part is the entire efficiency gap. The replica
+  count tracks engine speed (6 when a 1-core pass ran 310 s; 18 after
+  the round-4 kernel work tripled throughput) so the N-level run stays
+  in the multi-minute regime a 10^12-doc table actually occupies.
   SIEVE_BENCH_SCALING=0 skips it.
 """
 
@@ -65,7 +68,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPEATS = int(os.environ.get("SIEVE_BENCH_REPEATS", "2"))
 WORK_DIR = os.environ.get("SIEVE_BENCH_WORKDIR", "/tmp/sieve_bench")
 SCALE_N = int(os.environ.get("SIEVE_SCALE_N", "1"))
-SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "6"))
+SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "18"))
 # wall-clock budget for the whole bench; lower-priority measurements
 # (the 8→32 transparency pair) are skipped when it runs out
 DEADLINE_SEC = float(os.environ.get("SIEVE_BENCH_DEADLINE", "2700"))
