@@ -38,13 +38,13 @@ Methodology:
   actually catches those windows. Samples failing any signal are
   excluded from the best; all raw samples + signals stay in the JSON.
 - the scaling corpus is the base table replicated
-  ×SIEVE_SCALE_REPLICAS (default 18, block-key-disjoint so pair work
+  ×SIEVE_SCALE_REPLICAS (default 12, block-key-disjoint so pair work
   stays linear) so per-run fixed latency (measured ~13 s: driver plan
   compilation, stage barriers, broadcast choreography) is a small
   fraction of the N-level run the way a real long-running corpus would
   amortize it — per-replica compute scales at ~1.00 between 1 and 4
   cores, so the fixed part is the entire efficiency gap. The replica
-  count tracks engine speed (6 when a 1-core pass ran 310 s; 18 after
+  count tracks engine speed (6 when a 1-core pass ran 310 s; 12 after
   the round-4 kernel work tripled throughput) so the N-level run stays
   in the multi-minute regime a 10^12-doc table actually occupies.
   SIEVE_BENCH_SCALING=0 skips it.
@@ -68,7 +68,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPEATS = int(os.environ.get("SIEVE_BENCH_REPEATS", "2"))
 WORK_DIR = os.environ.get("SIEVE_BENCH_WORKDIR", "/tmp/sieve_bench")
 SCALE_N = int(os.environ.get("SIEVE_SCALE_N", "1"))
-SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "18"))
+SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "12"))
 # wall-clock budget for the whole bench; lower-priority measurements
 # (the 8→32 transparency pair) are skipped when it runs out
 DEADLINE_SEC = float(os.environ.get("SIEVE_BENCH_DEADLINE", "2700"))
@@ -318,7 +318,11 @@ def fresh_session(cores: int, shuffle_partitions: int | None = None, pin_cpus: b
     # at 4 pinned cores, 209→194 s at 1 core on the ×3 corpus. A
     # production deployment tuning a recurring pipeline makes the same
     # call; AQE earns its keep on unknown/skewed inputs.
-    extra = {"spark.sql.adaptive.enabled": "false"}
+    extra = {"spark.sql.adaptive.enabled": "false",
+             # the console progress bar writes ~100 KB of \r-frames per
+             # stage into the bench's captured stderr — pure noise in the
+             # recorded tail
+             "spark.ui.showConsoleProgress": "false"}
     if pin_cpus:
         # belt-and-braces with the taskset affinity mask: meaningful only
         # in a FRESH process (JVM flags are fixed at JVM launch)
@@ -684,7 +688,7 @@ def main():
         print("[bench] scaling 1->4 (taskset-pinned fresh subprocesses)",
               file=sys.stderr, flush=True)
         lv4 = run_level(4 * SCALE_N, scale_docs_path, reg_path, REPEATS,
-                        max_repeats=5, budget=420, probe_best=probe_best)
+                        max_repeats=4, budget=700, probe_best=probe_best)
         # the N level is the expensive, historically under-sampled side
         # (round 3 stopped at two samples on a budget cliff): give it the
         # same convergence standard as 4N — sample until two clean times
