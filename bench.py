@@ -624,7 +624,13 @@ def run_head_child() -> None:
         print(f"[bench] headline sample {i}: {sec:.1f}s (steal {steals[-1]*100:.1f}%)",
               file=sys.stderr, flush=True)
         lo = sorted(full_times)[:2]
-        if i + 1 >= REPEATS and len(lo) >= 2 and lo[1] <= lo[0] * 1.15:
+        # early break only when the best sample is itself low-steal:
+        # correlated steal-noise across two samples must not satisfy the
+        # agreement test (observed: 53/60 s "agreeing" at 5-7% steal vs a
+        # 19 s quiet-window truth)
+        best_steal = steals[full_times.index(min(full_times))]
+        if (i + 1 >= REPEATS and len(lo) >= 2 and lo[1] <= lo[0] * 1.15
+                and best_steal <= 0.02):
             break
     sec_full = min(full_times)
     out["headline_samples"] = [round(t, 2) for t in full_times]
