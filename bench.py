@@ -690,18 +690,37 @@ def main():
     results.update(json.loads(r.stdout.strip().splitlines()[-1]))
 
     if scaling_on:
-        # headline pair first (the north_rule gate), transparency pair after
+        # Level order is budget-driven: 4N (cheap, gate numerator), then
+        # the 8->32 transparency pair (cheap — it must not be starved out
+        # by the expensive N level, which is what happened whenever the N
+        # level ran long in a noisy window), then the N level with
+        # whatever the deadline still allows, revisits last.
         print("[bench] scaling 1->4 (taskset-pinned fresh subprocesses)",
               file=sys.stderr, flush=True)
         lv4 = run_level(4 * SCALE_N, scale_docs_path, reg_path, REPEATS,
                         max_repeats=4, budget=700, probe_best=probe_best)
+
+        if _remaining() > 900:
+            print("[bench] scaling 8->32 (transparency pair, same corpus)",
+                  file=sys.stderr, flush=True)
+            lv32 = run_level(32, scale_docs_path, reg_path, 2,
+                             max_repeats=3, budget=150, probe_best=probe_best)
+            lv8 = run_level(8, scale_docs_path, reg_path, 2,
+                            max_repeats=3, budget=250, probe_best=probe_best)
+            if lv8.get("error") or lv32.get("error"):
+                results["scaling_8_32"] = {"error": lv8.get("error") or lv32.get("error"),
+                                           "efficiency": 0.0}
+            else:
+                results["scaling_8_32"] = scaling_block(lv8, lv32)
+        else:
+            results["scaling_8_32"] = {"skipped": "bench deadline", "efficiency": 0.0}
+
         # the N level is the expensive, historically under-sampled side
-        # (round 3 stopped at two samples on a budget cliff): give it the
-        # same convergence standard as 4N — sample until two clean times
-        # agree within stable_pct, inside a budget that scales with what
-        # remains of the bench deadline
+        # (round 3 stopped at two samples on a budget cliff): sample until
+        # two clean times agree within stable_pct, inside a budget that
+        # scales with what remains of the bench deadline
         lv1 = run_level(SCALE_N, scale_docs_path, reg_path, REPEATS,
-                        max_repeats=6, budget=min(1400.0, max(_remaining() - 600, 500.0)),
+                        max_repeats=6, budget=min(1100.0, max(_remaining() - 400, 500.0)),
                         probe_best=probe_best)
         # Efficiency-aware revisits: ambient memory-bandwidth pressure from
         # co-tenant VMs (invisible to steal — measured: the same pinned
@@ -744,60 +763,51 @@ def main():
                 visits += 1
         results["scaling_1_4"] = results["scaling"]
 
-        if _remaining() > 300:
-            print("[bench] scaling 8->32 (transparency pair, same corpus)",
+        # 8->32 revisit: the 32-core side is the noise-vulnerable one
+        visits = 1
+        while (results["scaling_8_32"].get("samples_4n")
+               and results["scaling_8_32"]["efficiency"] < 0.6 and visits < 2
+               and _remaining() > 240):
+            print(f"[bench] 32-core revisit {visits} (8->32 eff "
+                  f"{results['scaling_8_32']['efficiency']})",
                   file=sys.stderr, flush=True)
-            lv32 = run_level(32, scale_docs_path, reg_path, 2,
-                             max_repeats=3, budget=120, probe_best=probe_best)
-            lv8 = run_level(8, scale_docs_path, reg_path, 2,
-                            max_repeats=3, budget=200, probe_best=probe_best)
-            if lv8.get("error") or lv32.get("error"):
-                results["scaling_8_32"] = {"error": lv8.get("error") or lv32.get("error"),
-                                           "efficiency": 0.0}
-            else:
-                results["scaling_8_32"] = scaling_block(lv8, lv32)
-            visits = 1
-            while (not results["scaling_8_32"].get("error")
-                   and results["scaling_8_32"]["efficiency"] < 0.6 and visits < 2
-                   and _remaining() > 240):
-                print(f"[bench] 32-core revisit {visits} (8->32 eff "
-                      f"{results['scaling_8_32']['efficiency']})",
-                      file=sys.stderr, flush=True)
-                lv32 = merge_levels(lv32, run_level(
-                    32, scale_docs_path, reg_path, 2,
-                    max_repeats=2, budget=120, probe_best=probe_best))
-                results["scaling_8_32"] = scaling_block(lv8, lv32)
-                visits += 1
+            lv32 = merge_levels(lv32, run_level(
+                32, scale_docs_path, reg_path, 2,
+                max_repeats=2, budget=150, probe_best=probe_best))
+            results["scaling_8_32"] = scaling_block(lv8, lv32)
+            visits += 1
 
-            # flagship-throughput cross-check: the pinned 32-core level IS
-            # the flagship (on the ×3 corpus). If it outran the headline,
-            # the headline's earlier window was noise-bound — re-measure
-            # it now rather than record a phantom regression.
-            x3_dps = max(
-                results["scaling_8_32"].get("docs_per_sec_4n", 0.0),
-                results["scaling_8_32"].get("docs_per_sec_n", 0.0),
-                results["scaling_1_4"].get("docs_per_sec_4n", 0.0),
+        # flagship-throughput cross-check: the pinned 32-core level IS
+        # the flagship (on the replicated corpus). If it outran the
+        # headline, the headline's earlier window was noise-bound —
+        # re-measure it now rather than record a phantom regression.
+        x3_dps = max(
+            results["scaling_8_32"].get("docs_per_sec_4n", 0.0),
+            results["scaling_8_32"].get("docs_per_sec_n", 0.0),
+            results["scaling_1_4"].get("docs_per_sec_4n", 0.0),
+        )
+        noisy_headline = min(
+            (s for s in results.get("headline_steal_fracs", []) if s is not None),
+            default=1.0,
+        ) > 0.02
+        if (x3_dps > 1.3 * results["docs_per_sec"] or noisy_headline) and _remaining() > 180:
+            print("[bench] headline re-measure (earlier window was "
+                  "noise-bound)", file=sys.stderr, flush=True)
+            rr = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", "headline"],
+                stdout=subprocess.PIPE, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
             )
-            if x3_dps > 1.3 * results["docs_per_sec"] and _remaining() > 180:
-                print("[bench] headline re-measure (earlier window was "
-                      "noise-bound)", file=sys.stderr, flush=True)
-                rr = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--phase", "headline"],
-                    stdout=subprocess.PIPE, text=True,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
-                if rr.returncode != 0 or not rr.stdout.strip():
-                    h = {"samples": [], "steals": [], "docs": 0}
-                else:
-                    h = json.loads(rr.stdout.strip().splitlines()[-1])
-                results["headline_samples"] += h["samples"]
-                results["headline_steal_fracs"] += h["steals"]
-                best = min(h["samples"]) if h["samples"] else float("inf")
-                if h["docs"] and best < results["queries"]["validate_full"]:
-                    results["queries"]["validate_full"] = round(best, 3)
-                    results["docs_per_sec"] = round(h["docs"] / best, 1)
-        else:
-            results["scaling_8_32"] = {"skipped": "bench deadline"}
+            if rr.returncode != 0 or not rr.stdout.strip():
+                h = {"samples": [], "steals": [], "docs": 0}
+            else:
+                h = json.loads(rr.stdout.strip().splitlines()[-1])
+            results["headline_samples"] += h["samples"]
+            results["headline_steal_fracs"] += h["steals"]
+            best = min(h["samples"]) if h["samples"] else float("inf")
+            if h["docs"] and best < results["queries"]["validate_full"]:
+                results["queries"]["validate_full"] = round(best, 3)
+                results["docs_per_sec"] = round(h["docs"] / best, 1)
 
         try:
             results["kernel_scaling"] = kernel_scaling_ladder()
