@@ -322,7 +322,10 @@ def fresh_session(cores: int, shuffle_partitions: int | None = None, pin_cpus: b
              # the console progress bar writes ~100 KB of \r-frames per
              # stage into the bench's captured stderr — pure noise in the
              # recorded tail
-             "spark.ui.showConsoleProgress": "false"}
+             "spark.ui.showConsoleProgress": "false",
+             # a Python worker killed under host memory pressure should
+             # leave a traceback, not a bare 'crashed'
+             "spark.python.worker.faulthandler.enabled": "true"}
     if pin_cpus:
         # belt-and-braces with the taskset affinity mask: meaningful only
         # in a FRESH process (JVM flags are fixed at JVM launch)
@@ -355,9 +358,19 @@ def run_level_child(args) -> None:
 
     cores_set = pinned_cores()
     t_start = time.time()
-    validate_once(spark, args.docs, args.reg)  # warmup, untimed
+    try:
+        validate_once(spark, args.docs, args.reg)  # warmup, untimed
+    except Exception as e:  # noqa: BLE001 — a crashed warmup costs the level, not the bench
+        print(json.dumps({"cores": cores, "error": f"warmup failed: {e}"[:300],
+                          "pin_verified": jvm_procs == cores, "n_docs": 0,
+                          "times": [], "clean_times": [], "best": float("inf"),
+                          "all_noisy": True, "probe_best_ms": 0.0,
+                          "bw_floor_ms": 0.0, "steal_fracs": [], "probes_ms": [],
+                          "gc_fracs": [], "bw_med_ms": []}))
+        return
     samples: list[dict] = []
     n_docs = 0
+    failures = 0
 
     def cpu_floor_of(ss):
         # LEVEL-LOCAL floors: on a 1-core level the probes share the core
@@ -385,8 +398,20 @@ def run_level_child(args) -> None:
         p_before, bw_before = probe(), bw_probe()
         st0, gc0 = steal_seconds(cores_set), gc_now()
         t0 = time.time()
-        with BwSampler() as bws:
-            sec, n_docs = validate_once(spark, args.docs, args.reg)
+        try:
+            with BwSampler() as bws:
+                sec, n_docs = validate_once(spark, args.docs, args.reg)
+        except Exception as e:  # noqa: BLE001 — a crashed sample (transient
+            # Python-worker death under host memory pressure, observed once)
+            # must not discard the level's earlier good samples
+            failures += 1
+            print(f"[bench] cores={cores} sample {i} FAILED: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
+            if failures >= 2 and not samples:
+                break
+            if time.time() - t_start > args.budget:
+                break
+            continue
         steal_frac = (steal_seconds(cores_set) - st0) / max(
             (time.time() - t0) * len(cores_set), 1e-9
         )
@@ -416,6 +441,14 @@ def run_level_child(args) -> None:
             if time.time() - t_start > args.budget:
                 break
     spark.stop()
+    if not samples:
+        print(json.dumps({"cores": cores, "error": "every sample attempt failed",
+                          "pin_verified": jvm_procs == cores, "n_docs": 0,
+                          "times": [], "clean_times": [], "best": float("inf"),
+                          "all_noisy": True, "probe_best_ms": 0.0,
+                          "bw_floor_ms": 0.0, "steal_fracs": [], "probes_ms": [],
+                          "gc_fracs": [], "bw_med_ms": []}))
+        return
     cpu_floor, bw_floor = cpu_floor_of(samples), bw_floor_of(samples)
     times = [s["sec"] for s in samples]
     clean = [s["sec"] for s in samples if _is_clean(s, cpu_floor, bw_floor, cores)]
@@ -468,8 +501,19 @@ def run_level(cores: int, docs_path: str, reg_path: str, repeats: int,
         "--repeats", str(repeats), "--max-repeats", str(max_repeats),
         "--budget", str(budget), "--probe-best", str(probe_best),
     ]
-    r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
-                       cwd=os.path.dirname(os.path.abspath(__file__)))
+    # hard wall: a HUNG child (a Spark job stuck retrying a dead Python
+    # worker was observed to eat the rest of the bench) is killed at
+    # ~2x its sampling budget plus warmup headroom
+    try:
+        r = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+                           timeout=2 * budget + 900,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return {"cores": cores, "error": f"child hung (> {2 * budget + 900:.0f}s)",
+                "pin_verified": False, "n_docs": 0, "times": [],
+                "clean_times": [], "best": float("inf"), "all_noisy": True,
+                "probe_best_ms": 0.0, "bw_floor_ms": 0.0, "steal_fracs": [],
+                "probes_ms": [], "gc_fracs": [], "bw_med_ms": []}
     # a crashed child (JVM OOM, taskset failure) must cost one level, not
     # the whole bench run (round-3 ADVICE): record an error block and let
     # the caller skip the pair
