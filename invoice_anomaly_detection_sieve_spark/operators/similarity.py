@@ -174,3 +174,84 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+def cosine_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    dim: int = 64,
+    bits: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+    max_bucket: int | None = 10_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id < b_id, cos_sim ≥
+    threshold). The embedding-space analog of ``dedup.near_duplicates``
+    (there: MinHash-LSH candidates + exact Jaccard; here: hyperplane-LSH
+    candidates + exact cosine).
+
+    - ``method="exact"``: all-pairs baseline — every (a, b) scored with
+      the JVM-side ``cosine``. O(n²) by definition; the correctness
+      oracle, and the path an exact-recall comparison must use.
+    - ``method="lsh"`` (the 100 TB path): banded random-hyperplane
+      signatures → ONE shuffle on (band, band-bits) buckets → window
+      count hot-bucket guard (``max_bucket``, same guard family as
+      ``minhash_lsh_pairs``; ``None`` disables) → exact cosine only on
+      bucket-mates. Recall is probabilistic (1-(1-p^r)^b with
+      p = 1 - θ/π), tunable by bits/bands; pinned by a planted-pair
+      recall test.
+
+    Output: a_id, b_id, cos_sim.
+    """
+    e = embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    a_vecs = e.select(F.col("_id").alias("a_id"), F.col("_vec").alias("_av"))
+    b_vecs = e.select(F.col("_id").alias("b_id"), F.col("_vec").alias("_bv"))
+    if method == "exact":
+        cand = a_vecs.crossJoin(b_vecs).where(F.col("a_id") < F.col("b_id"))
+    elif method == "lsh":
+        bits_per_band = bits // bands
+        sig = hyperplane_signature(F.col("_vec"), dim, bits, seed)
+        band_arr = F.array(
+            *[
+                F.concat(
+                    F.lit(f"{b}|"),
+                    F.shiftrightunsigned(F.col("_sig"), b * bits_per_band)
+                    .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                    .cast("string"),
+                )
+                for b in range(bands)
+            ]
+        )
+        buckets = (
+            e.select("_id", sig.alias("_sig"))
+            .where(F.col("_sig").isNotNull())
+            .select("_id", F.explode(band_arr).alias("bucket"))
+        )
+        if max_bucket is not None:
+            buckets = (
+                buckets.withColumn(
+                    "_bc", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+                )
+                .where(F.col("_bc") <= max_bucket)
+                .drop("_bc")
+            )
+        a, b = buckets.alias("a"), buckets.alias("b")
+        pair_ids = (
+            a.join(b, "bucket")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        # vectors re-enter via two key joins (NOT carried through the band
+        # explode, which would ship each vector `bands` times per bucket)
+        cand = pair_ids.join(a_vecs, "a_id").join(b_vecs, "b_id")
+    else:
+        raise ValueError(f"unknown method {method!r} (want 'exact' or 'lsh')")
+    return (
+        cand.withColumn("cos_sim", cosine(F.col("_av"), F.col("_bv")))
+        .where(F.col("cos_sim") >= threshold)
+        .select("a_id", "b_id", "cos_sim")
+    )

@@ -769,6 +769,32 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_emb_cosine_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact baseline
+    (operators/similarity.py ``cosine_near_duplicates(method="exact")``).
+
+    Only the id pairs are emitted: the cosine doubles can differ at the
+    ULP between engines. Threshold 0.4 sits ≥1.3e-4 from every pair's
+    actual similarity in this corpus — far beyond any cross-engine
+    float discrepancy — so the ≥ comparison is decided identically. The
+    LSH-bucketed scale path of the same operator is recall-pinned by
+    tests/test_pipeline_ops.py on planted near-identical vectors.
+    """
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.cosine_near_duplicates(e, threshold=0.4, method="exact").select(
+        "a_id", "b_id"
+    )
+
+
+SQL_EMB_COSINE_NEAR_DUPS = """
+SELECT a.vec_id AS a_id, b.vec_id AS b_id
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
 def q_benford_stats(spark, sf_dir):
     """Benford chi²/MAD per group from the profiled digit histogram
     (operators/drift.py over operators/profile.py).
@@ -1216,6 +1242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "txt_stats": q_text_stats,
     "sim_cosine_topk": q_sim_cosine_topk,
+    "dedup_emb_cosine": q_emb_cosine_near_dups,
     "a9b_benford_stats": q_benford_stats,
     "txt_lang_id": q_lang_id,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -1251,6 +1278,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "txt_stats": SQL_TEXT_STATS,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
+    "dedup_emb_cosine": SQL_EMB_COSINE_NEAR_DUPS,
     "a9b_benford_stats": SQL_BENFORD_STATS,
     "m7_psi_drift": SQL_PSI_DRIFT,
     "m7_ks_drift": SQL_KS_DRIFT,

@@ -113,6 +113,35 @@ def test_lsh_topk_recall(spark):
     assert 1 in neigh and 2 in neigh  # planted near-identical vectors found
 
 
+def test_cosine_near_duplicates_exact_and_lsh(spark):
+    rng = np.random.RandomState(2)
+    base = rng.randn(80, 16).astype("float32")
+    # plant 4 near-identical pairs (cos ≥ ~0.999) among random vectors
+    # (random 16-d pairs land near cos 0, far below the 0.9 threshold)
+    for a, b in ((0, 40), (1, 41), (2, 42), (3, 43)):
+        base[b] = base[a] + rng.randn(16).astype("float32") * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    exact = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.cosine_near_duplicates(
+            df, threshold=0.9, method="exact", dim=16
+        ).collect()
+    }
+    assert exact == {(0, 40), (1, 41), (2, 42), (3, 43)}
+    # the LSH scale path must recover every planted pair at this
+    # threshold/banding (p_band = (1-θ/π)^4 ≈ 0.97 per band at cos .999)
+    lsh = {
+        (r["a_id"], r["b_id"])
+        for r in similarity.cosine_near_duplicates(
+            df, threshold=0.9, method="lsh", dim=16, bits=16, bands=4
+        ).collect()
+    }
+    assert lsh == exact  # exact cosine filters any extra candidates
+
+
 def test_text_stats(textdocs):
     out = {r["doc_id"]: r.asDict() for r in textstats.with_text_stats(textdocs).collect()}
     assert out[1]["lang_pred"] == "en"
