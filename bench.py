@@ -44,10 +44,14 @@ Methodology:
   fraction of the N-level run the way a real long-running corpus would
   amortize it — per-replica compute scales at ~1.00 between 1 and 4
   cores, so the fixed part is the entire efficiency gap. The replica
-  count tracks engine speed (6 when a 1-core pass ran 310 s; 12 after
-  the round-4 kernel work tripled throughput) so the N-level run stays
-  in the multi-minute regime a 10^12-doc table actually occupies.
-  SIEVE_BENCH_SCALING=0 skips it.
+  count tracks the measured 1-CORE pass time (6 when it ran 310 s; the
+  round-4 kernel work tripled 32-core throughput but bought only ~8% at
+  1 core — it removed bandwidth contention, which one core never had —
+  so 12 made the N level a 570 s/sample run that ate the whole bench
+  deadline and starved the noise-riding revisit phase). 8 keeps the N
+  level in the multi-minute regime a 10^12-doc table actually occupies
+  (~380 s/sample) while leaving deadline room for the revisits that
+  ride out co-tenant noise windows. SIEVE_BENCH_SCALING=0 skips it.
 """
 
 from __future__ import annotations
@@ -68,7 +72,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPEATS = int(os.environ.get("SIEVE_BENCH_REPEATS", "2"))
 WORK_DIR = os.environ.get("SIEVE_BENCH_WORKDIR", "/tmp/sieve_bench")
 SCALE_N = int(os.environ.get("SIEVE_SCALE_N", "1"))
-SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "12"))
+SCALE_REPLICAS = int(os.environ.get("SIEVE_SCALE_REPLICAS", "8"))
 # wall-clock budget for the whole bench; lower-priority measurements
 # (the 8→32 transparency pair) are skipped when it runs out
 DEADLINE_SEC = float(os.environ.get("SIEVE_BENCH_DEADLINE", "2700"))

@@ -176,6 +176,120 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic coarse quantizer for IVF: the ``n_centroids`` corpus
+    vectors of smallest ``md5(id)`` rank — a uniform, engine-reproducible
+    sample. Lloyd iterations would sharpen the cells but make the
+    quantizer engine-specific; at corpus scale a sampled quantizer is
+    standard practice anyway (train on a sample, not the corpus), and
+    this one lets DuckDB re-derive the identical cells for the oracle.
+
+    Returns driver-side rows ``[(c_rank 1-based, vector), ...]`` in rank
+    order. Driver memory is O(n_centroids × dim) — the same bounded
+    broadcast-scale assumption as the profiles.
+    """
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("c_id"),
+            F.col(vec_col).alias("c_vec"),
+            F.md5(F.col(id_col).cast("string")).alias("_h"),
+        )
+        .orderBy("_h", "c_id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(i + 1, list(r.c_vec)) for i, r in enumerate(rows)]
+
+
+def _cell_scores(vec: Column, centroids: list) -> Column:
+    """Array of cosine(vec, centroid) per centroid, in rank order — pure
+    JVM expressions over literal centroid vectors (no shuffle, no UDF).
+    The row's own norm is computed once and shared across cells."""
+    vnorm = l2_norm(vec)
+    scores = []
+    for _rank, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        denom = vnorm * l2_norm(c)
+        scores.append(F.when(denom > 0, dot(vec, c) / denom).otherwise(F.lit(0.0)))
+    return F.array(*scores)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: coarse-quantize the corpus into ``n_centroids`` cells,
+    probe only the ``n_probe`` cells nearest each query, exact cosine
+    inside the probed cells. The inverted-file counterpart to the
+    hyperplane-LSH path (``lsh_topk``); with ``n_probe == n_centroids``
+    it degenerates to the exact ``brute_force_topk`` result (every cell
+    probed ⇒ every candidate scored), which pins correctness.
+
+    Shuffle ledger at scale: centroid selection is a total-order
+    ``limit C`` (tiny); cell assignment is a zero-shuffle JVM argmax over
+    broadcast centroid literals (ties → lowest rank via first-occurrence
+    ``array_position``); the probe list (queries × n_probe) is broadcast
+    so candidates stream once with no shuffle on the C-key (skew-prone)
+    cell id; the only real shuffle is the final per-query top-k window.
+    Cell skew is bounded by quantizer balance — a degenerate quantizer
+    concentrates candidates, the classic IVF failure mode; re-sample with
+    a different hash salt if a cell exceeds ~corpus/C × 10.
+
+    Output: query_id, neighbor_id, rank, cos_sim.
+    """
+    cent = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    # corpus side: one cell per vector (argmax cosine, first max on ties)
+    e = embeddings.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scores = _cell_scores(F.col("c_vec"), cent)
+    assigned = e.select(
+        "neighbor_id", "c_vec",
+        F.array_position(scores, F.array_max(scores)).cast("int").alias("cell"),
+    )
+    # query side: top-n_probe cells per query, exploded + broadcast
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qs = q.select(
+        "query_id", "q_vec", _cell_scores(F.col("q_vec"), cent).alias("_cs")
+    )
+    ranked_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    F.col("_cs"),
+                    F.sequence(F.lit(1), F.lit(len(cent))),
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("cell")),
+                )
+            ),
+            lambda st: st["cell"],
+        ),
+        1,
+        n_probe,
+    )
+    probes = qs.select(
+        "query_id", "q_vec", F.explode(ranked_cells).alias("cell")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )
+
+
 def cosine_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.9,

@@ -795,6 +795,65 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k (operators/similarity.py ``ivf_topk``): deterministic
+    md5-sampled coarse quantizer, argmax cell assignment, top-n_probe
+    probed cells per query, exact cosine inside probed cells.
+
+    The quantizer is engine-reproducible (md5 rank), so DuckDB re-derives
+    the identical cells and the oracle checks the FULL IVF algorithm, not
+    just its exact-probe degenerate case. Only ids + rank are emitted —
+    cosine doubles can differ at the ULP between engines; the
+    argmax/ranking cannot unless two cells tie to ~1e-9 (margin checked
+    at dev time, and ties break identically by cell rank / neighbor id).
+    """
+    from ..operators import similarity as sim
+
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") < 8)
+    return sim.ivf_topk(
+        e, queries, k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "neighbor_id", "rank")
+
+
+SQL_IVF_TOPK = """
+WITH cent AS (
+  SELECT embedding AS c_vec,
+         row_number() OVER (ORDER BY md5(cast(vec_id AS varchar)), vec_id) AS c_rank
+  FROM embeddings
+  QUALIFY c_rank <= 16
+),
+assign AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_vecv, c.c_rank AS cell,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding, c.c_vec) DESC, c.c_rank ASC) AS rn
+  FROM embeddings e CROSS JOIN cent c
+  QUALIFY rn = 1
+),
+probes AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.c_rank AS cell,
+         row_number() OVER (PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding, c.c_vec) DESC, c.c_rank ASC) AS rn
+  FROM embeddings q CROSS JOIN cent c
+  WHERE q.vec_id < 8
+  QUALIFY rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_cosine_similarity(p.q_vec, a.c_vecv) AS sim
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_benford_stats(spark, sf_dir):
     """Benford chi²/MAD per group from the profiled digit histogram
     (operators/drift.py over operators/profile.py).
@@ -1243,6 +1302,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "txt_stats": q_text_stats,
     "sim_cosine_topk": q_sim_cosine_topk,
     "dedup_emb_cosine": q_emb_cosine_near_dups,
+    "sim_ivf_topk": q_ivf_topk,
     "a9b_benford_stats": q_benford_stats,
     "txt_lang_id": q_lang_id,
     "dedup_minhash_lsh": q_minhash_lsh,
@@ -1279,6 +1339,7 @@ ORACLES: dict[str, str] = {
     "txt_stats": SQL_TEXT_STATS,
     "sim_cosine_topk": SQL_SIM_COSINE_TOPK,
     "dedup_emb_cosine": SQL_EMB_COSINE_NEAR_DUPS,
+    "sim_ivf_topk": SQL_IVF_TOPK,
     "a9b_benford_stats": SQL_BENFORD_STATS,
     "m7_psi_drift": SQL_PSI_DRIFT,
     "m7_ks_drift": SQL_KS_DRIFT,

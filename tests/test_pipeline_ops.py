@@ -113,6 +113,29 @@ def test_lsh_topk_recall(spark):
     assert 1 in neigh and 2 in neigh  # planted near-identical vectors found
 
 
+def test_ivf_topk_full_probe_is_exact_and_partial_probe_recalls(spark):
+    rng = np.random.RandomState(2)
+    base = rng.randn(60, 12).astype("float32")
+    # planted near-identical neighbors for query 0
+    base[1] = base[0] + rng.randn(12).astype("float32") * 0.01
+    base[2] = base[0] + rng.randn(12).astype("float32") * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = df.where(F.col("vec_id") < 3)
+    # probing every cell degenerates IVF to the exact brute-force result
+    full = similarity.ivf_topk(df, queries, k=4, n_centroids=8, n_probe=8)
+    exact = similarity.brute_force_topk(df, queries, k=4)
+    key = lambda rows: sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in rows)
+    assert key(full.collect()) == key(exact.collect())
+    # partial probe finds the planted near-identical vectors (they share
+    # query 0's cell: near-identical vectors argmax to the same centroid)
+    part = similarity.ivf_topk(df, queries, k=4, n_centroids=8, n_probe=2)
+    neigh = {r["neighbor_id"] for r in part.collect() if r["query_id"] == 0}
+    assert 1 in neigh and 2 in neigh
+
+
 def test_cosine_near_duplicates_exact_and_lsh(spark):
     rng = np.random.RandomState(2)
     base = rng.randn(80, 16).astype("float32")
