@@ -199,6 +199,58 @@ class BwSampler:
         return s[len(s) // 2]
 
 
+class StealWatchdog:
+    """Cancels the in-flight sample once sustained hypervisor steal makes
+    it near-certain the >5%-steal clean gate will exclude it anyway. A
+    noisy sample costs its full (inflated) duration in level budget —
+    observed 230-385 s vs a ~100 s clean run — and best-of never uses it;
+    aborting at +60 s converts that dead time into another attempt in the
+    same window. Thresholds are deliberately above the clean gate
+    (sustained 12% over ≥60 s vs gate 5% full-run average) so a brief
+    spike that a mostly-clean run would absorb never triggers an abort;
+    the caller bounds aborts per level so a wall-to-wall-noisy window
+    still records (noisy) samples rather than nothing."""
+
+    def __init__(self, spark, cores, enabled: bool = True,
+                 threshold: float = 0.12, min_elapsed: float = 60.0,
+                 poll: float = 5.0):
+        import threading
+
+        self.spark, self.cores = spark, list(cores)
+        self.enabled = enabled and bool(self.cores)
+        self.threshold, self.min_elapsed = threshold, min_elapsed
+        self.aborted = False
+        self._poll = poll
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True) if self.enabled else None
+
+    def _run(self):
+        t0, st0 = time.time(), steal_seconds(self.cores)
+        while not self._stop.wait(self._poll):
+            el = time.time() - t0
+            if el < self.min_elapsed:
+                continue
+            frac = (steal_seconds(self.cores) - st0) / max(el * len(self.cores), 1e-9)
+            if frac > self.threshold:
+                self.aborted = True
+                try:
+                    self.spark.sparkContext.cancelAllJobs()
+                except Exception:  # noqa: BLE001 — abort is best-effort
+                    pass
+                return
+
+    def __enter__(self):
+        if self._t:
+            self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        if self._t:
+            self._t.join(timeout=2)
+        return False
+
+
 # ------------------------------------------------------------------- fixtures
 
 def materialize_inputs(spark, sf_dir: str) -> tuple[str, str, float]:
@@ -398,19 +450,31 @@ def run_level_child(args) -> None:
         except Exception:  # noqa: BLE001 — GC stats are evidence, not the gate
             return 0
 
-    for i in range(args.max_repeats):
+    aborts = 0
+    for i in range(args.max_repeats + 2):
+        if len(samples) + failures >= args.max_repeats:
+            break
         p_before, bw_before = probe(), bw_probe()
         st0, gc0 = steal_seconds(cores_set), gc_now()
         t0 = time.time()
+        # early-abort on sustained steal, at most twice per level so a
+        # wall-to-wall-noisy window still records samples
+        wd = StealWatchdog(spark, cores_set, enabled=aborts < 2)
         try:
-            with BwSampler() as bws:
+            with BwSampler() as bws, wd:
                 sec, n_docs = validate_once(spark, args.docs, args.reg)
         except Exception as e:  # noqa: BLE001 — a crashed sample (transient
             # Python-worker death under host memory pressure, observed once)
             # must not discard the level's earlier good samples
-            failures += 1
-            print(f"[bench] cores={cores} sample {i} FAILED: {str(e)[:200]}",
-                  file=sys.stderr, flush=True)
+            if wd.aborted:
+                aborts += 1
+                print(f"[bench] cores={cores} sample {i} ABORTED at "
+                      f"+{time.time() - t0:.0f}s (sustained steal > "
+                      f"{wd.threshold:.0%})", file=sys.stderr, flush=True)
+            else:
+                failures += 1
+                print(f"[bench] cores={cores} sample {i} FAILED: {str(e)[:200]}",
+                      file=sys.stderr, flush=True)
             if failures >= 2 and not samples:
                 break
             if time.time() - t_start > args.budget:
@@ -662,9 +726,23 @@ def run_head_child() -> None:
     validate_once(spark, docs_path, reg_path)  # warmup
     cores_set = pinned_cores()
     full_times, steals, n_docs = [], [], 0
-    for i in range(max(REPEATS + 1, 5)):
+    target_samples, aborts = max(REPEATS + 1, 5), 0
+    for i in range(target_samples + 2):
+        if len(full_times) >= target_samples:
+            break
         st0, t0 = steal_seconds(cores_set), time.time()
-        sec, n_docs = validate_once(spark, docs_path, reg_path)
+        wd = StealWatchdog(spark, cores_set, enabled=aborts < 2)
+        try:
+            with wd:
+                sec, n_docs = validate_once(spark, docs_path, reg_path)
+        except Exception:
+            if not wd.aborted:
+                raise
+            aborts += 1
+            print(f"[bench] headline sample {i} ABORTED at "
+                  f"+{time.time() - t0:.0f}s (sustained steal > "
+                  f"{wd.threshold:.0%})", file=sys.stderr, flush=True)
+            continue
         steals.append(round(
             (steal_seconds(cores_set) - st0)
             / max((time.time() - t0) * len(cores_set), 1e-9), 4))
