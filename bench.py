@@ -415,7 +415,12 @@ def run_level_child(args) -> None:
     cores_set = pinned_cores()
     t_start = time.time()
     try:
-        validate_once(spark, args.docs, args.reg)  # warmup, untimed
+        # warmup is about ONE-TIME costs (codegen compilation, JIT, Python
+        # worker pool spin-up) which depend on the plan/schema, not the
+        # data volume — the x1 corpus warms them at a fraction of a full
+        # N=1 pass over the replicated corpus (465 s observed), leaving
+        # the budget for actual samples. Falls back to the level corpus.
+        validate_once(spark, args.warmup_docs or args.docs, args.reg)
     except Exception as e:  # noqa: BLE001 — a crashed warmup costs the level, not the bench
         print(json.dumps({"cores": cores, "error": f"warmup failed: {e}"[:300],
                           "pin_verified": jvm_procs == cores, "n_docs": 0,
@@ -556,7 +561,8 @@ def _is_clean(s: dict, cpu_floor: float, bw_floor: float, cores: int) -> bool:
 
 
 def run_level(cores: int, docs_path: str, reg_path: str, repeats: int,
-              max_repeats: int, budget: float, probe_best: float) -> dict:
+              max_repeats: int, budget: float, probe_best: float,
+              warmup_docs: str = "") -> dict:
     """Spawn a fresh pinned subprocess for one scaling level and parse its
     JSON result line. taskset restricts the whole child tree (JVM + Python
     workers) to cores 0..N-1, exactly an N-core executor's resources."""
@@ -569,6 +575,8 @@ def run_level(cores: int, docs_path: str, reg_path: str, repeats: int,
         "--repeats", str(repeats), "--max-repeats", str(max_repeats),
         "--budget", str(budget), "--probe-best", str(probe_best),
     ]
+    if warmup_docs:
+        cmd += ["--warmup-docs", warmup_docs]
     # hard wall: a HUNG child (a Spark job stuck retrying a dead Python
     # worker was observed to eat the rest of the bench) is killed at
     # ~2x its sampling budget plus warmup headroom
@@ -725,15 +733,16 @@ def run_head_child() -> None:
     print(f"[bench] headline validate cores={CPUS} ...", file=sys.stderr, flush=True)
     validate_once(spark, docs_path, reg_path)  # warmup
     cores_set = pinned_cores()
-    full_times, steals, n_docs = [], [], 0
+    full_times, steals, bw_meds, n_docs = [], [], [], 0
     target_samples, aborts = max(REPEATS + 1, 5), 0
     for i in range(target_samples + 2):
         if len(full_times) >= target_samples:
             break
+        bw0 = bw_probe()
         st0, t0 = steal_seconds(cores_set), time.time()
         wd = StealWatchdog(spark, cores_set, enabled=aborts < 2)
         try:
-            with wd:
+            with BwSampler() as bws, wd:
                 sec, n_docs = validate_once(spark, docs_path, reg_path)
         except Exception:
             if not wd.aborted:
@@ -746,21 +755,27 @@ def run_head_child() -> None:
         steals.append(round(
             (steal_seconds(cores_set) - st0)
             / max((time.time() - t0) * len(cores_set), 1e-9), 4))
+        readings = sorted([bw0, bw_probe()] + bws.vals)
+        bw_meds.append(readings[len(readings) // 2])
         full_times.append(sec)
-        print(f"[bench] headline sample {i}: {sec:.1f}s (steal {steals[-1]*100:.1f}%)",
+        print(f"[bench] headline sample {i}: {sec:.1f}s "
+              f"(steal {steals[-1]*100:.1f}%, bw {bw_meds[-1]*1e3:.0f} ms)",
               file=sys.stderr, flush=True)
         lo = sorted(full_times)[:2]
-        # early break only when the best sample is itself low-steal:
-        # correlated steal-noise across two samples must not satisfy the
-        # agreement test (observed: 53/60 s "agreeing" at 5-7% steal vs a
-        # 19 s quiet-window truth)
-        best_steal = steals[full_times.index(min(full_times))]
+        # early break only when the best sample is itself low-steal AND
+        # low-bandwidth-pressure: correlated noise across two samples must
+        # not satisfy the agreement test (observed: 53/60 s "agreeing" at
+        # 5-7% steal, and 56/64 s agreeing at 2-4% steal under pure
+        # co-tenant bandwidth pressure, vs a ~21 s quiet-window truth)
+        bi = full_times.index(min(full_times))
         if (i + 1 >= REPEATS and len(lo) >= 2 and lo[1] <= lo[0] * 1.15
-                and best_steal <= 0.02):
+                and steals[bi] <= 0.02
+                and bw_meds[bi] <= BW_NOISY * min(bw_meds)):
             break
     sec_full = min(full_times)
     out["headline_samples"] = [round(t, 2) for t in full_times]
     out["headline_steal_fracs"] = steals
+    out["headline_bw_med_ms"] = [round(b * 1e3, 1) for b in bw_meds]
     qtimes["validate_full"] = round(sec_full, 3)
     out["queries"] = qtimes
     out["docs"] = n_docs
@@ -778,15 +793,33 @@ def run_headline_retry_child() -> None:
     cores_set = pinned_cores()
     validate_once(spark, docs_path, reg_path)  # warmup
     samples, steals, n_docs = [], [], 0
-    for i in range(2):
+    aborts = 0
+    for i in range(5):
+        if len(samples) >= 3:
+            break
         st0, t0 = steal_seconds(cores_set), time.time()
-        sec, n_docs = validate_once(spark, docs_path, reg_path)
+        wd = StealWatchdog(spark, cores_set, enabled=aborts < 2)
+        try:
+            with wd:
+                sec, n_docs = validate_once(spark, docs_path, reg_path)
+        except Exception:
+            if not wd.aborted:
+                raise
+            aborts += 1
+            print(f"[bench] headline retry {i} ABORTED at "
+                  f"+{time.time() - t0:.0f}s (sustained steal)",
+                  file=sys.stderr, flush=True)
+            continue
         steals.append(round(
             (steal_seconds(cores_set) - st0)
             / max((time.time() - t0) * len(cores_set), 1e-9), 4))
         samples.append(round(sec, 2))
         print(f"[bench] headline retry {i}: {sec:.1f}s (steal {steals[-1]*100:.1f}%)",
               file=sys.stderr, flush=True)
+        # a low-steal sample is the quiet-window truth this phase exists
+        # to capture — one suffices
+        if steals[-1] <= 0.02 and len(samples) >= 2:
+            break
     spark.stop()
     print(json.dumps({"samples": samples, "steals": steals, "docs": n_docs}))
 
@@ -799,6 +832,7 @@ def main():
     # paths are deterministic; the head child materializes what's missing
     tag = os.path.basename(SF_DIR.rstrip("/"))
     reg_path = os.path.join(WORK_DIR, tag, "registry.parquet")
+    base_docs_path = os.path.join(WORK_DIR, tag, "documents.parquet")
     scale_docs_path = os.path.join(
         WORK_DIR, f"{tag}-x{SCALE_REPLICAS}", "documents.parquet"
     )
@@ -824,15 +858,16 @@ def main():
         print("[bench] scaling 1->4 (taskset-pinned fresh subprocesses)",
               file=sys.stderr, flush=True)
         lv4 = run_level(4 * SCALE_N, scale_docs_path, reg_path, REPEATS,
-                        max_repeats=4, budget=700, probe_best=probe_best)
+                        max_repeats=4, budget=700, probe_best=probe_best, warmup_docs=base_docs_path)
 
+        lv8 = lv32 = None
         if _remaining() > 900:
             print("[bench] scaling 8->32 (transparency pair, same corpus)",
                   file=sys.stderr, flush=True)
             lv32 = run_level(32, scale_docs_path, reg_path, 2,
-                             max_repeats=3, budget=150, probe_best=probe_best)
+                             max_repeats=3, budget=150, probe_best=probe_best, warmup_docs=base_docs_path)
             lv8 = run_level(8, scale_docs_path, reg_path, 2,
-                            max_repeats=3, budget=250, probe_best=probe_best)
+                            max_repeats=3, budget=250, probe_best=probe_best, warmup_docs=base_docs_path)
             if lv8.get("error") or lv32.get("error"):
                 results["scaling_8_32"] = {"error": lv8.get("error") or lv32.get("error"),
                                            "efficiency": 0.0}
@@ -847,7 +882,7 @@ def main():
         # scales with what remains of the bench deadline
         lv1 = run_level(SCALE_N, scale_docs_path, reg_path, REPEATS,
                         max_repeats=6, budget=min(1100.0, max(_remaining() - 400, 500.0)),
-                        probe_best=probe_best)
+                        probe_best=probe_best, warmup_docs=base_docs_path)
         # Efficiency-aware revisits: ambient memory-bandwidth pressure from
         # co-tenant VMs (invisible to steal — measured: the same pinned
         # 4-core level ran 64 s in one window and 80 s twenty minutes
@@ -873,14 +908,14 @@ def main():
                     print(f"[bench] 4N revisit {visits} (eff {eff})",
                           file=sys.stderr, flush=True)
                     nxt = run_level(4 * SCALE_N, scale_docs_path, reg_path, 2,
-                                    max_repeats=3, budget=240, probe_best=probe_best)
+                                    max_repeats=3, budget=240, probe_best=probe_best, warmup_docs=base_docs_path)
                     if not nxt.get("error"):
                         lv4 = merge_levels(lv4, nxt)
                 elif eff > 1.05:
                     print(f"[bench] N revisit {visits} (implausible eff {eff})",
                           file=sys.stderr, flush=True)
                     nxt = run_level(SCALE_N, scale_docs_path, reg_path, 2,
-                                    max_repeats=2, budget=600, probe_best=probe_best)
+                                    max_repeats=2, budget=600, probe_best=probe_best, warmup_docs=base_docs_path)
                     if not nxt.get("error"):
                         lv1 = merge_levels(lv1, nxt)
                 else:
@@ -899,7 +934,7 @@ def main():
                   file=sys.stderr, flush=True)
             lv32 = merge_levels(lv32, run_level(
                 32, scale_docs_path, reg_path, 2,
-                max_repeats=2, budget=150, probe_best=probe_best))
+                max_repeats=2, budget=150, probe_best=probe_best, warmup_docs=base_docs_path))
             results["scaling_8_32"] = scaling_block(lv8, lv32)
             visits += 1
 
@@ -912,11 +947,26 @@ def main():
             results["scaling_8_32"].get("docs_per_sec_n", 0.0),
             results["scaling_1_4"].get("docs_per_sec_4n", 0.0),
         )
-        noisy_headline = min(
+        # the headline window counts as noisy when its BEST sample saw
+        # steal, or when the in-run bandwidth probe never matched the
+        # quiet floor established by the (time-separated) scaling levels
+        best_steal = min(
             (s for s in results.get("headline_steal_fracs", []) if s is not None),
             default=1.0,
-        ) > 0.02
-        if (x3_dps > 1.3 * results["docs_per_sec"] or noisy_headline) and _remaining() > 180:
+        )
+        bw_meds_ms = results.get("headline_bw_med_ms", [])
+        bw_quiet_ms = min(
+            [float(v) for lv in (lv4, lv8, lv32, lv1) if isinstance(lv, dict)
+             for v in [lv.get("bw_floor_ms", 0.0)] if v] + [0.0]
+        )
+        noisy_headline = best_steal > 0.02 or (
+            bool(bw_meds_ms) and bw_quiet_ms > 0
+            and min(bw_meds_ms) > BW_NOISY * bw_quiet_ms
+        )
+        # the retry child is cheap (~4 min) and prevents recording a
+        # phantom 2-3x regression from a noise-bound early window: run it
+        # even right at the deadline edge
+        if (x3_dps > 1.3 * results["docs_per_sec"] or noisy_headline) and _remaining() > 60:
             print("[bench] headline re-measure (earlier window was "
                   "noise-bound)", file=sys.stderr, flush=True)
             rr = subprocess.run(
@@ -957,6 +1007,7 @@ if __name__ == "__main__":
     ap.add_argument("--stable-pct", type=float, default=0.15)
     ap.add_argument("--budget", type=float, default=600.0)
     ap.add_argument("--probe-best", type=float, default=0.0)
+    ap.add_argument("--warmup-docs", type=str, default="")
     ap.add_argument("--phase", type=str, default="")
     a = ap.parse_args()
     if a.level > 0:
