@@ -643,6 +643,9 @@ def scaling_block(lo: dict, hi: dict) -> dict:
         "pin_verified": bool(lo["pin_verified"] and hi["pin_verified"]),
         "steal_fracs_n": lo.get("steal_fracs", []),
         "steal_fracs_4n": hi.get("steal_fracs", []),
+        "bw_med_ms_n": lo.get("bw_med_ms", []),
+        "bw_med_ms_4n": hi.get("bw_med_ms", []),
+        "bw_floor_ms": [lo.get("bw_floor_ms", 0.0), hi.get("bw_floor_ms", 0.0)],
         "probe_best_ms": [lo["probe_best_ms"], hi["probe_best_ms"]],
         "docs_per_sec_n": round(thr_n, 1),
         "docs_per_sec_4n": round(thr_4n, 1),
@@ -924,13 +927,20 @@ def main():
                 visits += 1
         results["scaling_1_4"] = results["scaling"]
 
-        # 8->32 revisit: the 32-core side is the noise-vulnerable one
+        # 8->32 revisits: the 32-core side is the noise-vulnerable one —
+        # every 32-core sample of the round-4 first run landed inside a
+        # bandwidth storm (bw probes 23-62 ms vs a 6 ms floor, zero clean
+        # samples), recording a phantom 0.179 against a clean-window truth
+        # near 0.4. Revisit while the wide side has NO clean sample, or
+        # while efficiency still looks noise-suppressed.
         visits = 1
         while (results["scaling_8_32"].get("samples_4n")
-               and results["scaling_8_32"]["efficiency"] < 0.6 and visits < 2
-               and _remaining() > 240):
+               and (results["scaling_8_32"]["efficiency"] < 0.6
+                    or not results["scaling_8_32"]["clean_samples_4n"])
+               and visits < 3 and _remaining() > 240):
             print(f"[bench] 32-core revisit {visits} (8->32 eff "
-                  f"{results['scaling_8_32']['efficiency']})",
+                  f"{results['scaling_8_32']['efficiency']}, clean_4n="
+                  f"{len(results['scaling_8_32']['clean_samples_4n'])})",
                   file=sys.stderr, flush=True)
             lv32 = merge_levels(lv32, run_level(
                 32, scale_docs_path, reg_path, 2,
