@@ -395,3 +395,91 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering: pairs -> connected components -> canonical doc
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list.
+
+    A training pipeline consumes dedup PAIRS as CLUSTERS: transitively
+    connected docs form one duplicate group and exactly one member (the
+    canonical) survives. This is the min-label-propagation formulation of
+    MapReduce connected components (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14): every node starts labeled with
+    itself, and each round every node adopts the minimum label among
+    itself and its neighbors. Rounds until fixpoint = graph diameter;
+    near-dup clusters are shallow (dozens of docs, diameter a few hops),
+    so this converges in a handful of O(E)-shuffle rounds, each a
+    join + groupBy — no driver-side graph, no GraphX/RDD dependency.
+    ``localCheckpoint`` truncates the lineage every round so the plan
+    stays flat at any iteration count. The fixpoint test rides the
+    aggregate that computes the next labels (one extra max() column, no
+    extra pass).
+
+    Output: (doc_id, cluster_id) for every doc that appears in ``pairs``,
+    cluster_id = min doc_id of its component. Reference analog: the
+    sieve groups mutual duplicate invoices under one case key
+    (app/main.py:290-305); here the group must be computed distributively.
+    """
+    # undirected edge list, both directions, so one join step propagates
+    # labels across every edge
+    e = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("_mn")).alias("lab"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # next label = min(own, min over neighbors' labels); count how
+        # many nodes still shrink this round on the same aggregation
+        nbr = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("lab").alias("_nbr_lab"))
+            .withColumnRenamed("src", "node")
+        )
+        nxt = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least("lab", F.coalesce("_nbr_lab", "lab")).alias("lab"),
+                (F.col("lab") > F.least("lab", F.coalesce("_nbr_lab", "lab")))
+                .cast("int")
+                .alias("_chg"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = nxt.agg(F.sum("_chg")).first()[0] or 0
+        labels = nxt.drop("_chg")
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
+
+
+def keep_canonical(
+    docs: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop every clustered doc except its cluster's canonical member.
+
+    The canonical doc IS the cluster_id (min doc_id of the component), so
+    the kill list is just ``doc_id != cluster_id`` — one broadcast-able
+    anti-join against docs (the kill list is O(duplicates), tiny relative
+    to the corpus)."""
+    kill = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return docs.join(kill, id_col, "left_anti")

@@ -1275,6 +1275,165 @@ GROUP BY 1
 
 
 # ---------------------------------------------------------------------------
+# dedup clustering / sampling / quality (training-pipeline operators)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over verified near-duplicate pairs
+    (operators/dedup.py:duplicate_clusters): every transitively connected
+    doc labeled with its component's min doc_id — the form a training
+    pipeline actually consumes dedup output in (keep one canonical doc
+    per cluster). Pairs come from the same deterministic exact-recall
+    configuration as dedup_near_dups_verified, so the edge set is
+    engine-independent and the oracle can recompute it with a recursive
+    CTE."""
+    from ..operators import dedup
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.near_duplicates(
+        d, threshold=0.7, num_hashes=16, bands=16, max_bucket=None
+    )
+    return dedup.duplicate_clusters(pairs)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE n AS (
+  SELECT doc_id, {_SQL_DESC_NORM_TEXT} AS t FROM documents
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS words FROM n
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(words) >= 5 THEN
+           list_distinct(list_transform(range(1, len(words) - 3), i ->
+             array_to_string(list_slice(words, CAST(i AS INT), CAST(i AS INT) + 4), ' ')))
+         ELSE [array_to_string(words, ' ')] END AS sh
+  FROM w
+), p AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM s a JOIN s b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) > 0
+             THEN len(list_intersect(a.sh, b.sh))
+                  / len(list_distinct(list_concat(a.sh, b.sh)))
+             ELSE 0.0 END >= 0.7
+), edges AS (
+  SELECT a_id AS src, b_id AS dst FROM p
+  UNION
+  SELECT b_id AS src, a_id AS dst FROM p
+), reach(node, lab) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sample: exactly min(k, group size) docs
+    per language by md5 rank (operators/sampling.py:stratified_sample) —
+    reproducible across engines/runs/partitionings, unbiased w.r.t. data
+    columns."""
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.stratified_sample(d, "lang", 20).select("doc_id", "lang")
+
+
+SQL_SAMPLE_STRATIFIED = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+) WHERE rk <= 20
+"""
+
+
+def q_sample_fraction(spark, sf_dir):
+    """Shuffle-free deterministic ~25% corpus slice: md5 hex-prefix
+    predicate pushed into the scan
+    (operators/sampling.py:hash_fraction_sample)."""
+    from ..operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    return sampling.hash_fraction_sample(d, 25).select("doc_id")
+
+
+SQL_SAMPLE_FRACTION = """
+SELECT doc_id FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '40'
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Heuristic quality features + composite 0-1 score per document
+    (operators/textstats.py:quality_features/quality_score). All column
+    math (ratios of regex-counted chars, stopword hit rate, mean word
+    length), bit-reproducible in DuckDB; the score's float products are
+    rounded to 6 places on both sides."""
+    from ..operators import textstats as T
+
+    d = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    f = T.quality_features(c)
+    return d.select(
+        "doc_id",
+        f["n_tokens"].alias("n_tokens"),
+        _r(f["punct_ratio"]).alias("punct_ratio_r"),
+        _r(f["stopword_ratio"]).alias("stopword_ratio_r"),
+        _r(f["upper_ratio"]).alias("upper_ratio_r"),
+        T.quality_score(c).alias("quality_r"),
+    )
+
+
+def _sql_text_quality() -> str:
+    from ..operators.textstats import STOPWORDS
+
+    stop = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+              ELSE string_split_regex(trim(text), '\\s+') END AS toks,
+         length(text) AS n_chars
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         CASE WHEN n_chars > 0 THEN
+           length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 / n_chars
+         ELSE 0.0 END AS punct_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> list_contains([{stop}], lower(x)))) * 1.0 / len(toks)
+         ELSE 0.0 END AS stopword_ratio,
+         CASE WHEN n_chars > 0 THEN
+           length(regexp_replace(text, '[^A-Z]', '', 'g')) * 1.0 / n_chars
+         ELSE 0.0 END AS upper_ratio,
+         CASE WHEN n_chars > 0 THEN
+           length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / n_chars
+         ELSE 0.0 END AS digit_ratio,
+         CASE WHEN len(toks) > 0 THEN
+           list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
+         ELSE 0.0 END AS mean_word_len
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(punct_ratio, 6) AS punct_ratio_r,
+       round(stopword_ratio, 6) AS stopword_ratio_r,
+       round(upper_ratio, 6) AS upper_ratio_r,
+       round(
+         0.3 * least(stopword_ratio * 4.0, 1.0)
+         + 0.25 * CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10
+                       THEN 1.0 ELSE 0.3 END
+         + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0))
+         + 0.15 * (1.0 - least(digit_ratio * 5.0, 1.0))
+         + 0.1 * least(n_tokens / 50.0, 1.0), 6) AS quality_r
+FROM f
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1313,6 +1472,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m7_psi_drift": q_psi_drift,
     "m7_isolation_forest": q_isolation_forest,
     "m7_isolation_forest_verified": q_isolation_forest_verified,
+    "dedup_clusters": q_dedup_clusters,
+    "sample_stratified": q_sample_stratified,
+    "sample_fraction": q_sample_fraction,
+    "txt_quality": q_text_quality,
 }
 
 ORACLES: dict[str, str] = {
@@ -1347,6 +1510,10 @@ ORACLES: dict[str, str] = {
     "dedup_near_dups_verified": SQL_NEAR_DUPS_VERIFIED,
     "dedup_simhash_verified": SQL_SIMHASH_VERIFIED,
     "m7_isolation_forest_verified": SQL_ISOLATION_FOREST_VERIFIED,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
+    "sample_stratified": SQL_SAMPLE_STRATIFIED,
+    "sample_fraction": SQL_SAMPLE_FRACTION,
+    "txt_quality": _sql_text_quality(),
     # dedup_minhash_lsh / dedup_simhash: rows-only (raw xxhash64-seeded
     # signatures are engine-specific); their VERIFIED outputs are
     # oracle-checked above (dedup_near_dups_verified /

@@ -1,0 +1,97 @@
+"""Duplicate clustering (connected components) + deterministic sampling.
+
+Covers operators/dedup.py:duplicate_clusters/keep_canonical and
+operators/sampling.py — the cluster labels must equal the transitive
+closure's per-component min id, and both samplers must be engine- and
+partitioning-independent (re-run under a different repartitioning yields
+the identical row set).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from invoice_anomaly_detection_sieve_spark.operators import dedup, sampling
+
+
+def test_duplicate_clusters_chain_triangle_isolated_pair(spark):
+    # components: a chain 1-2-3-4 (diameter 3), a triangle 10-11-12,
+    # and an isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    # a 12-node path needs ~diameter rounds of min propagation — exercises
+    # the fixpoint loop well past one iteration
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "a_id long, b_id long"
+    )
+    got = dedup.duplicate_clusters(pairs)
+    assert got.count() == 13
+    assert got.select("cluster_id").distinct().collect()[0][0] == 100
+    assert got.where(F.col("cluster_id") != 100).count() == 0
+
+
+def test_keep_canonical_drops_non_canonical_only(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 8)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a_id long, b_id long")
+    clusters = dedup.duplicate_clusters(pairs)
+    kept = sorted(
+        r["doc_id"] for r in dedup.keep_canonical(docs, clusters).collect()
+    )
+    # 2,3 fold into 1; 6 folds into 5; 4 and 7 are unclustered
+    assert kept == [1, 4, 5, 7]
+
+
+def test_stratified_sample_exact_k_and_partitioning_invariance(spark):
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    s1 = sampling.stratified_sample(df, "lang", 7)
+    assert s1.groupBy("lang").count().rdd.map(lambda r: r["count"]).collect() == [7, 7, 7]
+    # identical row set under a different physical layout
+    s2 = sampling.stratified_sample(df.repartition(13, "doc_id"), "lang", 7)
+    assert sorted(r["doc_id"] for r in s1.collect()) == sorted(
+        r["doc_id"] for r in s2.collect()
+    )
+    # k above group size returns the whole group
+    tiny = spark.createDataFrame([(1, "en"), (2, "en")], "doc_id long, lang string")
+    assert sampling.stratified_sample(tiny, "lang", 10).count() == 2
+
+
+def test_stratified_sample_matches_python_md5_rank(spark):
+    df = spark.createDataFrame([(i, "en") for i in range(50)], "doc_id long, lang string")
+    got = sorted(r["doc_id"] for r in sampling.stratified_sample(df, "lang", 5).collect())
+    want = sorted(
+        sorted(range(50), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:5]
+    )
+    assert got == want
+
+
+def test_hash_fraction_sample_bounds_and_determinism(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    kept = sampling.hash_fraction_sample(df, 25)
+    n = kept.count()
+    # 64/256 of the hash space; binomial(2000, 0.25) stays well inside
+    assert 400 < n < 600
+    # pure predicate => no shuffle, same rows on any layout
+    n2 = sampling.hash_fraction_sample(df.repartition(17), 25).count()
+    assert n2 == n
+    assert sampling.hash_fraction_sample(df, 100).count() == 2000
+    # matches the documented python-side predicate exactly
+    want = sum(
+        1 for i in range(2000)
+        if hashlib.md5(str(i).encode()).hexdigest()[:2] < "40"
+    )
+    assert n == want
