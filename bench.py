@@ -462,9 +462,14 @@ def run_level_child(args) -> None:
         p_before, bw_before = probe(), bw_probe()
         st0, gc0 = steal_seconds(cores_set), gc_now()
         t0 = time.time()
-        # early-abort on sustained steal, at most twice per level so a
-        # wall-to-wall-noisy window still records samples
-        wd = StealWatchdog(spark, cores_set, enabled=aborts < 2)
+        # early-abort on sustained steal, at most --max-aborts per level
+        # so a wall-to-wall-noisy window still records samples. The
+        # full-width (32-core) level runs with max_aborts=1: its steal is
+        # vCPU overcommit that recurs whenever the whole mask is loaded
+        # (measured: 0% idle, >12% under full 32-core load), so burning
+        # 2x60 s on aborts just starves the budget of the one unwatched
+        # sample the level can actually record.
+        wd = StealWatchdog(spark, cores_set, enabled=aborts < args.max_aborts)
         try:
             with BwSampler() as bws, wd:
                 sec, n_docs = validate_once(spark, args.docs, args.reg)
@@ -562,7 +567,7 @@ def _is_clean(s: dict, cpu_floor: float, bw_floor: float, cores: int) -> bool:
 
 def run_level(cores: int, docs_path: str, reg_path: str, repeats: int,
               max_repeats: int, budget: float, probe_best: float,
-              warmup_docs: str = "") -> dict:
+              warmup_docs: str = "", max_aborts: int = 2) -> dict:
     """Spawn a fresh pinned subprocess for one scaling level and parse its
     JSON result line. taskset restricts the whole child tree (JVM + Python
     workers) to cores 0..N-1, exactly an N-core executor's resources."""
@@ -574,6 +579,7 @@ def run_level(cores: int, docs_path: str, reg_path: str, repeats: int,
         "--level", str(cores), "--docs", docs_path, "--reg", reg_path,
         "--repeats", str(repeats), "--max-repeats", str(max_repeats),
         "--budget", str(budget), "--probe-best", str(probe_best),
+        "--max-aborts", str(max_aborts),
     ]
     if warmup_docs:
         cmd += ["--warmup-docs", warmup_docs]
@@ -867,8 +873,12 @@ def main():
         if _remaining() > 900:
             print("[bench] scaling 8->32 (transparency pair, same corpus)",
                   file=sys.stderr, flush=True)
+            # budget must survive one steal-abort (~60 s) plus a full
+            # unwatched sample (~65-230 s observed) — 150 s expired before
+            # the level could record anything in the round-4 first run
             lv32 = run_level(32, scale_docs_path, reg_path, 2,
-                             max_repeats=3, budget=150, probe_best=probe_best, warmup_docs=base_docs_path)
+                             max_repeats=3, budget=330, probe_best=probe_best,
+                             warmup_docs=base_docs_path, max_aborts=1)
             lv8 = run_level(8, scale_docs_path, reg_path, 2,
                             max_repeats=3, budget=250, probe_best=probe_best, warmup_docs=base_docs_path)
             if lv8.get("error") or lv32.get("error"):
@@ -932,20 +942,47 @@ def main():
         # bandwidth storm (bw probes 23-62 ms vs a 6 ms floor, zero clean
         # samples), recording a phantom 0.179 against a clean-window truth
         # near 0.4. Revisit while the wide side has NO clean sample, or
-        # while efficiency still looks noise-suppressed.
+        # while efficiency still looks noise-suppressed. A level whose
+        # whole visit FAILED (every sample steal-aborted, child crash) is
+        # re-run and REPLACED, not merged: merging an error block would
+        # poison pin_verified and carry best=inf, and the old guard
+        # (samples_4n truthy) silently skipped revisits in exactly the
+        # storm the revisit phase exists to ride out.
         visits = 1
-        while (results["scaling_8_32"].get("samples_4n")
-               and (results["scaling_8_32"]["efficiency"] < 0.6
-                    or not results["scaling_8_32"]["clean_samples_4n"])
-               and visits < 3 and _remaining() > 240):
-            print(f"[bench] 32-core revisit {visits} (8->32 eff "
-                  f"{results['scaling_8_32']['efficiency']}, clean_4n="
-                  f"{len(results['scaling_8_32']['clean_samples_4n'])})",
+        while lv8 is not None and lv32 is not None and visits < 3 \
+                and _remaining() > 240:
+            blk = results["scaling_8_32"]
+            err8 = bool(lv8.get("error"))
+            err32 = bool(lv32.get("error"))
+            noisy = (not err8 and not err32
+                     and (blk["efficiency"] < 0.6
+                          or not blk["clean_samples_4n"]))
+            if not (err8 or err32 or noisy):
+                break
+            print(f"[bench] 8->32 revisit {visits} (err8={err8} "
+                  f"err32={err32} eff={blk.get('efficiency')})",
                   file=sys.stderr, flush=True)
-            lv32 = merge_levels(lv32, run_level(
-                32, scale_docs_path, reg_path, 2,
-                max_repeats=2, budget=150, probe_best=probe_best, warmup_docs=base_docs_path))
-            results["scaling_8_32"] = scaling_block(lv8, lv32)
+            if err8:
+                lv8 = run_level(8, scale_docs_path, reg_path, 2,
+                                max_repeats=2, budget=250,
+                                probe_best=probe_best,
+                                warmup_docs=base_docs_path)
+            if err32 or noisy:
+                nxt = run_level(32, scale_docs_path, reg_path, 2,
+                                max_repeats=2, budget=260,
+                                probe_best=probe_best,
+                                warmup_docs=base_docs_path, max_aborts=1)
+                if err32:
+                    lv32 = nxt
+                elif not nxt.get("error"):  # never merge a failed visit
+                    lv32 = merge_levels(lv32, nxt)
+            if lv8.get("error") or lv32.get("error"):
+                results["scaling_8_32"] = {
+                    "error": lv8.get("error") or lv32.get("error"),
+                    "efficiency": 0.0,
+                }
+            else:
+                results["scaling_8_32"] = scaling_block(lv8, lv32)
             visits += 1
 
         # flagship-throughput cross-check: the pinned 32-core level IS
@@ -1018,6 +1055,7 @@ if __name__ == "__main__":
     ap.add_argument("--budget", type=float, default=600.0)
     ap.add_argument("--probe-best", type=float, default=0.0)
     ap.add_argument("--warmup-docs", type=str, default="")
+    ap.add_argument("--max-aborts", type=int, default=2)
     ap.add_argument("--phase", type=str, default="")
     a = ap.parse_args()
     if a.level > 0:
