@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import normalize as N
+from .balance import ensure_min_parallelism
 
 DEFAULT_SHINGLE = 5
 DEFAULT_MINHASHES = 16
@@ -97,7 +98,7 @@ def minhash_signatures(
     row per doc before the exchange, so the shuffle is O(docs), not
     O(shingles). Returns (id, h0..h{K-1}).
     """
-    staged = docs.select(
+    staged = ensure_min_parallelism(docs).select(
         F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle).alias("_sh")
     )
     ex = staged.select("_id", F.explode_outer("_sh").alias("_s"))
@@ -334,7 +335,7 @@ def simhash_near_duplicates(
     width = 64 // bands
     mask = (1 << width) - 1
     sig = with_simhash(
-        docs.select(F.col(id_col).alias("_docid"), F.col(text_col)),
+        ensure_min_parallelism(docs).select(F.col(id_col).alias("_docid"), F.col(text_col)),
         text_col, "_sig", id_col="_docid",
     ).select(F.col("_docid").alias("_id"), "_sig")
     band_arr = F.array(

@@ -11,6 +11,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import normalize as N
+from .balance import ensure_min_parallelism
 
 # most-frequent function words per language (public frequency lists);
 # 16 per language — enough for a high-precision stopword-rate argmax on
@@ -169,6 +170,7 @@ def with_text_stats(
     than this plan.
     """
     c = F.col(text_col)
+    docs = ensure_min_parallelism(docs)
     ex = docs.select(F.col(id_col).alias("_id"), F.explode_outer(tokens(c)).alias("_t"))
     clean = F.lower(F.regexp_replace(F.col("_t"), r"[^a-zA-Z0-9]", ""))
     aggs = [

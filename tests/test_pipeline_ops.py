@@ -374,3 +374,16 @@ def test_decode_wav_roundtrip_samples():
     x, rate = multimodal.decode_wav(_encode_wav(np.array([0.0, 0.5, -0.5]), rate=4000))
     assert rate == 4000
     assert np.allclose(x, [0.0, 0.5, -0.5], atol=1e-4)
+
+
+def test_ensure_min_parallelism_rebalances_only_when_under(spark):
+    from invoice_anomaly_detection_sieve_spark.operators.balance import ensure_min_parallelism
+
+    one = spark.createDataFrame([(i,) for i in range(100)], "id long").coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    out = ensure_min_parallelism(one)
+    assert out.rdd.getNumPartitions() == target
+    assert out.count() == 100
+    # already-wide input passes through untouched (same plan object)
+    wide = spark.createDataFrame([(i,) for i in range(100)], "id long").repartition(target + 4)
+    assert ensure_min_parallelism(wide) is wide
