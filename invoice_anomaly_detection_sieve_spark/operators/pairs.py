@@ -165,10 +165,27 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """
     a = _prefixed(docs, "a_")
     b = _prefixed(docs, "b_")
+    # Two plan constraints, both scale- and CPU-driven (see the round-4
+    # stage profile in BENCH/BASELINE.md):
+    # - the capped pair ids are byte-tiny (a few MB at sf0.1), so AQE's
+    #   byte-based coalescing folds everything downstream of their
+    #   exchange — the payload joins AND the Arrow pair kernel, the most
+    #   CPU-expensive per-row stage of the pipeline — onto a handful of
+    #   tasks (observed: 6 tasks × ~36 s on 32 cores). An explicit
+    #   numPartitions repartition is exempt from AQE coalescing, so it
+    #   pins the kernel's parallelism at the session's width.
+    # - the pairs side is O(docs·cap): auto-broadcasting it (it sits
+    #   under the raised 64 MB threshold at test scale) collects the
+    #   whole blocking pipeline through the driver, and evaluates it
+    #   once per broadcast — the same O(N)-broadcast ban as the dup
+    #   rollup join in plans/validate.py. shuffle_hash keys both payload
+    #   joins on doc_id: bounded exchanges, no driver involvement.
+    n_part = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_part, "a_doc_id")
     j = (
-        pairs.join(a, pairs["a_doc_id"] == a["a_doc_id"])
+        pairs.join(a.hint("shuffle_hash"), pairs["a_doc_id"] == a["a_doc_id"])
         .drop(a["a_doc_id"])
-        .join(b, pairs["b_doc_id"] == b["b_doc_id"])
+        .join(b.hint("shuffle_hash"), pairs["b_doc_id"] == b["b_doc_id"])
         .drop(b["b_doc_id"])
     )
 
