@@ -99,3 +99,78 @@ def test_observations_from_documents(spark):
     obs = R.observations_from_documents(df)
     got = sorted(r["media_key"] for r in obs.collect())
     assert got == ["H1", "M1"]
+
+
+def test_streaming_exact_dedup_state_survives_restart(spark, tmp_path):
+    """First-seen dedup via applyInPandasWithState: in-batch dups tagged,
+    and the per-hash state (n_seen) round-trips through the checkpoint so
+    a second availableNow run continues the count."""
+    import datetime as dt
+
+    from invoice_anomaly_detection_sieve_spark.streaming import dedup_stream as D
+
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id string, text string, ts timestamp"
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            D.streaming_exact_dedup(stream, ttl_ms=None)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    b1 = [("d1", "hello", t(0)), ("d2", "world", t(1)), ("d3", "hello", t(2))]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    b2 = [("d4", "hello", t(3)), ("d5", "fresh", t(4))]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = {r["doc_id"]: (r["is_first"], r["n_seen"]) for r in spark.read.parquet(out).collect()}
+    assert got["d1"] == ("first", 1)
+    assert got["d3"] == ("dup", 2)
+    assert got["d2"] == ("first", 1)
+    assert got["d4"] == ("dup", 3)  # state crossed the restart
+    assert got["d5"] == ("first", 1)
+
+
+def test_windowed_event_rollup(spark, tmp_path):
+    import datetime as dt
+
+    from invoice_anomaly_detection_sieve_spark.streaming import dedup_stream as D
+
+    src = str(tmp_path / "events")
+    schema = "event_id string, event_type string, value double, ts timestamp"
+    t = lambda m: dt.datetime(2025, 1, 1, 0, m)
+    rows = [
+        ("e1", "click", 1.0, t(1)),
+        ("e2", "click", 2.0, t(5)),
+        ("e3", "buy", 10.0, t(12)),
+        ("e4", "click", 4.0, t(14)),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        D.windowed_event_rollup(stream, window="10 minutes", watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].minute, r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("select * from rollup").collect()
+    }
+    assert got[(0, "click")] == (2, 3.0)
+    assert got[(10, "buy")] == (1, 10.0)
+    assert got[(10, "click")] == (1, 4.0)
