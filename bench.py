@@ -1027,9 +1027,13 @@ def main():
             default=1.0,
         )
         bw_meds_ms = results.get("headline_bw_med_ms", [])
+        # `or [0.0]`, not `+ [0.0]`: appending 0.0 unconditionally made
+        # the min always 0.0, which disabled the bandwidth half of the
+        # noisy-headline detection entirely (the bw_quiet_ms > 0 guard
+        # below was then always False)
         bw_quiet_ms = min(
             [float(v) for lv in (lv4, lv8, lv32, lv1) if isinstance(lv, dict)
-             for v in [lv.get("bw_floor_ms", 0.0)] if v] + [0.0]
+             for v in [lv.get("bw_floor_ms", 0.0)] if v] or [0.0]
         )
         noisy_headline = best_steal > 0.02 or (
             bool(bw_meds_ms) and bw_quiet_ms > 0

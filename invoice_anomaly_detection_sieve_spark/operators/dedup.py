@@ -134,11 +134,13 @@ def minhash_lsh_pairs(
     ``max_bucket`` drops degenerate buckets (same guard as the blocking
     join's max_key_fanout); pass ``None`` to disable the guard and keep
     the full (1-(1-J^r)^b) candidate recall — required when an exact
-    oracle will compare the output. The unguarded path keeps the
-    bucket self-join formulation (identical output) because an unbounded
-    collect_list on a degenerate bucket would concentrate O(bucket²) in
-    one task; the self-join lets Spark spill it instead. Output: a_id,
-    b_id (a < b), n_shared_bands.
+    oracle will compare the output. The unguarded path uses the SAME
+    single-pass formulation minus the count filter: a bucket self-join
+    would recompute the whole signature pipeline for both sides (AQE
+    does not reuse the exchange), and it concentrates a degenerate
+    bucket's O(bucket²) pair output into one task anyway — identical to
+    the array explosion — while the array side holds only O(bucket) ids
+    in the agg buffer. Output: a_id, b_id (a < b), n_shared_bands.
     """
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle)
@@ -158,29 +160,28 @@ def minhash_lsh_pairs(
         ]
     )
     buckets = with_sig.select("_id", F.explode(band_arr).alias("bucket"))
-    if max_bucket is None:
-        a, b = buckets.alias("a"), buckets.alias("b")
-        return (
-            a.join(b, "bucket")
-            .where(F.col("a._id") < F.col("b._id"))
-            .groupBy(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
-            .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    if max_bucket is not None:
+        buckets = (
+            buckets.withColumn(
+                "_bc", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
+            )
+            .where(F.col("_bc") <= max_bucket)
+            .drop("_bc")
         )
-    guarded = (
-        buckets.withColumn("_bc", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
-        .where(F.col("_bc") <= max_bucket)
-        .drop("_bc")
-    )
-    # sorted per-bucket id array (≤ max_bucket elements by the guard;
+    # sorted per-bucket id array (≤ max_bucket elements under the guard;
     # same partitioning as the window ⇒ no extra exchange), then i<j pair
-    # explosion: sorted array ⇒ a_id < b_id by construction
-    grouped = guarded.groupBy("bucket").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+    # explosion: sorted array ⇒ a_id ≤ b_id by construction; the strict
+    # filter drops the (x, x) self-pair a duplicated array element would
+    # emit (only reachable via a cross-band hash collision — signatures
+    # are one row per id — but the comparison is free)
+    grouped = buckets.groupBy("bucket").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
     exploded = grouped.select(F.posexplode("_ids").alias("_i", "a_id"), F.col("_ids"))
     return (
         exploded.select(
             "a_id",
             F.explode(F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))).alias("b_id"),
         )
+        .where(F.col("a_id") != F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_shared_bands"))
     )
@@ -349,34 +350,23 @@ def simhash_near_duplicates(
             for b in range(bands)
         ]
     )
-    # Guarded path: window count (hot-bucket guard, riding the single
-    # shuffle) → per-bucket sorted (id, sig) array (≤ max_bucket by the
-    # guard) → i<j pair explosion — the 64-sum signature pipeline runs
-    # exactly ONCE, with no self-join, no persist, and no reliance on
-    # exchange reuse. Unguarded (max_bucket=None) keeps the self-join so
-    # a degenerate bucket spills instead of concentrating O(bucket²) in
-    # one collect_list task.
+    # Window count (hot-bucket guard, riding the single shuffle, skipped
+    # when max_bucket is None) → per-bucket sorted (id, sig) array →
+    # i<j pair explosion — the 64-sum signature pipeline runs exactly
+    # ONCE, with no self-join, no persist, and no reliance on exchange
+    # reuse (a self-join would recompute the signatures for both sides
+    # and concentrates a degenerate bucket's O(bucket²) pair output in
+    # one task anyway, same as the array explosion).
     bucketed = sig.select("_id", "_sig", F.explode(band_arr).alias("_bucket"))
-    if max_bucket is None:
-        a, b = bucketed.alias("a"), bucketed.alias("b")
-        return (
-            a.join(b, "_bucket")
-            .where(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"),
-                    F.col("a._sig").alias("_sa"), F.col("b._sig").alias("_sb"))
-            .dropDuplicates(["a_id", "b_id"])
-            .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
-            .where(F.col("hamming") <= max_hamming)
-            .select("a_id", "b_id", "hamming")
+    if max_bucket is not None:
+        bucketed = (
+            bucketed.withColumn(
+                "_bc", F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
+            )
+            .where(F.col("_bc") <= max_bucket)
+            .drop("_bc")
         )
-    guarded = (
-        bucketed.withColumn(
-            "_bc", F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
-        )
-        .where(F.col("_bc") <= max_bucket)
-        .drop("_bc")
-    )
-    grouped = guarded.groupBy("_bucket").agg(
+    grouped = bucketed.groupBy("_bucket").agg(
         F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_rows")
     )
     exploded = grouped.select(F.posexplode("_rows").alias("_i", "_a"), F.col("_rows"))
@@ -391,6 +381,7 @@ def simhash_near_duplicates(
             F.col("_a._id").alias("a_id"), F.col("_b._id").alias("b_id"),
             F.col("_a._sig").alias("_sa"), F.col("_b._sig").alias("_sb"),
         )
+        .where(F.col("a_id") != F.col("b_id"))
         .dropDuplicates(["a_id", "b_id"])
         .withColumn("hamming", hamming64(F.col("_sa"), F.col("_sb")))
         .where(F.col("hamming") <= max_hamming)
@@ -445,6 +436,7 @@ def duplicate_clusters(
         )
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iter):
         # next label = min(own, min over neighbors' labels); count how
         # many nodes still shrink this round on the same aggregation
@@ -468,6 +460,16 @@ def duplicate_clusters(
         labels = nxt.drop("_chg")
         if changed == 0:
             break
+    if changed:
+        # a component whose diameter exceeds max_iter would return labels
+        # that are NOT the component minimum — keep_canonical would then
+        # keep several "canonical" docs from one duplicate cluster.
+        # Wrong-but-silent is the worst outcome for a dedup gate, so fail.
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still shrinking); a duplicate chain longer "
+            f"than max_iter hops exists — raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id"))
 
 

@@ -169,11 +169,14 @@ def isolation_scores(
     your driver is sized for more; each model blob is ~10-40 KB.
     """
     feat_list = list(features)
-    n_groups = docs.select(group_col).distinct().count()
+    # fail-fast probe, not a census: limit(max_groups + 1) lets the scan
+    # stop as soon as the guard's question is answered, instead of a full
+    # extra pass over the upstream plan when cardinality is huge
+    n_groups = docs.select(group_col).distinct().limit(max_groups + 1).count()
     if n_groups > max_groups:
         raise ValueError(
             f"isolation_scores fits one model per '{group_col}' group and "
-            f"broadcasts them all: {n_groups} groups exceeds max_groups="
+            f"broadcasts them all: >{max_groups} groups exceeds max_groups="
             f"{max_groups} (~{max_groups * 20 // 1024} MB of driver memory). "
             f"Score per-group slices separately or raise max_groups if the "
             f"driver is sized for it."

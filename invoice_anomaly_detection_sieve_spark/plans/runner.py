@@ -119,7 +119,15 @@ def run_incremental(
             "docs_per_sec": 0.0,
             "parts_skipped_resume": 0,
         }
-    docs = src.read(documents_table) if since == 0 else src.read_since(documents_table, since)
+    # both reads are pinned to `current`: an append committed after the
+    # latest_snapshot_id() call above is left for the NEXT run instead of
+    # being validated now but bookmarked under the older id (which would
+    # re-validate those docs forever)
+    docs = (
+        src.read_as_of(documents_table, current)
+        if since == 0
+        else src.read_since(documents_table, since, until=current)
+    )
     metrics = run(
         spark, docs, media_registry, catalog,
         consumed_snapshot_id=current, **run_kwargs,
@@ -199,6 +207,20 @@ def run(
         )
         catalog.append(LEDGER_TABLE, ledger)
         part_v.unpersist()
+    elif consumed_snapshot_id is not None:
+        # an increment can be empty (snapshot advanced, zero rows — e.g.
+        # an empty append): still ledger the consumed snapshot id, or
+        # every later incremental run re-reads the same empty increment
+        # forever because the bookmark never advances
+        ledger = spark.createDataFrame(
+            [(run_id, None, 0, list(cfg.constraints), 0,
+              float(time.time() - t0), COMPLETE, consumed_snapshot_id)],
+            "run_id string, part string, rows_scanned long, "
+            "constraints_evaluated array<string>, violations long, "
+            "run_wall_time_sec double, status string, "
+            "consumed_snapshot_id long",
+        )
+        catalog.append(LEDGER_TABLE, ledger)
     elapsed = time.time() - t0
     verdicts.unpersist()
     # Drop the run's cached extraction: a later resume run over the same

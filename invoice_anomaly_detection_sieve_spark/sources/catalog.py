@@ -280,14 +280,47 @@ class ParquetCatalog:
             return None
         return self.spark.read.option("basePath", data).parquet(*paths).drop("_bucket")
 
-    def read_since(self, name: str, snapshot_id: int) -> DataFrame:
+    def read_since(
+        self, name: str, snapshot_id: int, until: int | None = None
+    ) -> DataFrame:
         """Incremental read: rows appended strictly after ``snapshot_id``
-        (Iceberg incremental-scan analog; powers resumable runs)."""
+        (Iceberg incremental-scan analog; powers resumable runs).
+
+        ``until`` pins the upper bound: snapshots newer than it are left
+        for the next run. Without it, an append committed between a
+        caller's ``latest_snapshot_id()`` and this scan would be consumed
+        now but recorded under the older id — and re-validated next run."""
         newer: list[str] = []
         for snap in self.snapshots(name):
-            if snap["id"] > snapshot_id and snap["op"] == "append":
+            if (
+                snap["id"] > snapshot_id
+                and (until is None or snap["id"] <= until)
+                and snap["op"] == "append"
+            ):
                 newer.extend(snap["files"])
         if not newer:
             return self.read(name).limit(0)
         paths = [os.path.join(self._data_dir(name), f) for f in newer]
+        return self.spark.read.parquet(*paths)
+
+    def read_as_of(self, name: str, snapshot_id: int) -> DataFrame:
+        """Table state at ``snapshot_id`` (Iceberg time-travel analog):
+        the latest full rewrite at or before it plus every append after
+        that rewrite. Pins a first incremental run's full scan to the
+        snapshot its ledger will record, so concurrent appends are not
+        silently swallowed into an older bookmark."""
+        snaps = [s for s in self.snapshots(name) if s["id"] <= snapshot_id]
+        base = 0
+        for s in snaps:
+            if s["op"] != "append":
+                base = s["id"]
+        files = [
+            f
+            for s in snaps
+            if s["id"] == base or (s["id"] > base and s["op"] == "append")
+            for f in s["files"]
+        ]
+        if not files:
+            return self.read(name).limit(0)
+        paths = [os.path.join(self._data_dir(name), f) for f in files]
         return self.spark.read.parquet(*paths)

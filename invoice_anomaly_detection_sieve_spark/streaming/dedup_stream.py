@@ -59,7 +59,14 @@ def _dedup_fn(
         state.remove()
         return
     (n_seen,) = state.get if state.exists else (0,)
-    for pdf in pdfs:
+    # one key's micro-batch rows can arrive as SEVERAL Arrow chunks in
+    # arbitrary order (maxRecordsPerBatch); a per-chunk sort cannot order
+    # across chunks, so 'first' could land on a later-ts row. Concatenate
+    # before sorting — memory is bounded by one key's rows in one
+    # micro-batch, the same bound the output itself already implies.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
         pdf = pdf.sort_values("ts", kind="stable")
         out = pd.DataFrame(
             {

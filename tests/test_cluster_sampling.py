@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from invoice_anomaly_detection_sieve_spark.operators import dedup, sampling
@@ -95,3 +97,30 @@ def test_hash_fraction_sample_bounds_and_determinism(spark):
         if hashlib.md5(str(i).encode()).hexdigest()[:2] < "40"
     )
     assert n == want
+
+
+def test_duplicate_clusters_raises_on_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must FAIL, not silently
+    return labels that are not the component minimum (keep_canonical
+    would then keep several 'canonicals' from one cluster)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 210)], "a_id long, b_id long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.duplicate_clusters(pairs, max_iter=2)
+
+
+def test_minhash_unguarded_matches_guarded_without_hot_buckets(spark):
+    """max_bucket=None (exact-recall oracle path) and a never-binding
+    guard must produce identical pairs — the unguarded path shares the
+    single-pass formulation, it only skips the count filter."""
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"alpha beta gamma delta epsilon zeta {i % 3}") for i in range(24)],
+        "doc_id string, text string",
+    )
+    unguarded = dedup.minhash_lsh_pairs(docs, max_bucket=None)
+    guarded = dedup.minhash_lsh_pairs(docs, max_bucket=10**6)
+    a = {(r["a_id"], r["b_id"], r["n_shared_bands"]) for r in unguarded.collect()}
+    b = {(r["a_id"], r["b_id"], r["n_shared_bands"]) for r in guarded.collect()}
+    assert a == b and a
+    assert all(x != y for x, y, _ in a)

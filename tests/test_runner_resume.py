@@ -117,3 +117,47 @@ def test_catalog_merge_and_incremental_read(spark, tmp_path):
     cat.merge_upsert("t", src, ["k"])
     got = {r["k"]: r["v"] for r in cat.read("t").collect()}
     assert got == {"a": 1, "b": 20, "c": 3, "d": 4}
+
+
+def test_catalog_read_as_of_and_until_pin_the_snapshot(spark, tmp_path):
+    """An incremental scan must be pinned to the snapshot its ledger will
+    record: snapshots committed after the pin are left for the next run."""
+    cat = ParquetCatalog(spark, str(tmp_path / "pin"))
+    s1 = cat.append("t", spark.createDataFrame([("a",)], "k string"))
+    s2 = cat.append("t", spark.createDataFrame([("b",)], "k string"))
+    s3 = cat.append("t", spark.createDataFrame([("c",)], "k string"))
+
+    # table state as of s2 excludes the s3 append
+    assert {r["k"] for r in cat.read_as_of("t", s2).collect()} == {"a", "b"}
+    assert {r["k"] for r in cat.read_as_of("t", s3).collect()} == {"a", "b", "c"}
+    # incremental read bounded above
+    assert {r["k"] for r in cat.read_since("t", s1, until=s2).collect()} == {"b"}
+    assert {r["k"] for r in cat.read_since("t", s1).collect()} == {"b", "c"}
+
+    # read_as_of after a full rewrite: the rewrite resets the base
+    cat.overwrite("t", spark.createDataFrame([("z",)], "k string"))
+    s5 = cat.append("t", spark.createDataFrame([("y",)], "k string"))
+    assert {r["k"] for r in cat.read_as_of("t", s5).collect()} == {"z", "y"}
+
+
+def test_incremental_empty_append_advances_bookmark(spark, tmp_path, corpus):
+    """An empty append still advances the consumed-snapshot bookmark:
+    without the zero-doc ledger row, every later incremental run would
+    re-read the same empty increment forever."""
+    documents, registry = corpus
+    catalog = ParquetCatalog(spark, str(tmp_path / "whe"))
+    cfg = V.ValidationConfig(dq_as_of="2024-04-01")
+
+    catalog.append("documents", documents.where(part_of(F.col("doc_id")) == "P0"))
+    m1 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
+    assert not m1["no_op"] and m1["docs_validated"] > 0
+
+    # empty append: snapshot id advances, zero rows
+    catalog.append("documents", documents.limit(0))
+    m2 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
+    assert not m2["no_op"] and m2["docs_validated"] == 0
+    assert m2["snapshot_consumed"] > m1["snapshot_consumed"]
+
+    # the bookmark advanced: the next run is a true no-op
+    m3 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
+    assert m3["no_op"] and m3["snapshot_since"] == m2["snapshot_consumed"]

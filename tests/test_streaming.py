@@ -174,3 +174,49 @@ def test_windowed_event_rollup(spark, tmp_path):
     assert got[(0, "click")] == (2, 3.0)
     assert got[(10, "buy")] == (1, 10.0)
     assert got[(10, "click")] == (1, 4.0)
+
+
+def test_streaming_dedup_first_spans_arrow_chunks(spark, tmp_path):
+    """One key's micro-batch rows can arrive as several Arrow chunks;
+    'first' must go to the globally earliest-ts row even when it sits in
+    a later chunk (per-chunk sorting cannot order across chunks)."""
+    import datetime as dt
+
+    from invoice_anomaly_detection_sieve_spark.streaming import dedup_stream as D
+
+    src = str(tmp_path / "docs_chunks")
+    schema = "doc_id string, text string, ts timestamp"
+    t = lambda m: dt.datetime(2025, 2, 1, 0, m)
+    # earliest ts (d5) written LAST so with 2-record Arrow chunks it lands
+    # in the final chunk; all rows share one content hash
+    rows = [("d1", "same", t(5)), ("d2", "same", t(3)), ("d3", "same", t(4)),
+            ("d4", "same", t(2)), ("d5", "same", t(1))]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            D.streaming_exact_dedup(stream, ttl_ms=None)
+            .writeStream.format("memory")
+            .queryName("chunked_dedup")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = {r["doc_id"]: (r["is_first"], r["n_seen"])
+           for r in spark.sql("select * from chunked_dedup").collect()}
+    assert got["d5"] == ("first", 1)  # globally earliest ts
+    assert got["d4"] == ("dup", 2)
+    assert got["d2"] == ("dup", 3)
+    assert got["d3"] == ("dup", 4)
+    assert got["d1"] == ("dup", 5)
