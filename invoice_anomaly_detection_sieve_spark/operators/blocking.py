@@ -70,22 +70,33 @@ def candidate_pairs(
     Output: part, a_doc_id, b_doc_id, block_priority; ≤ ``cap`` rows per
     a_doc_id, deterministically chosen (priority, then b_doc_id).
     """
+    # ONE exchange on (part, bkey) carries the whole block phase: the
+    # hot-key guard is a window count riding that shuffle (WindowExec
+    # sorts + spills, so a degenerate key never materializes in memory),
+    # the per-key id array (≤ max_key_fanout by the guard) rides the same
+    # partitioning, and the directed pair explosion is JVM-side. The old
+    # count-join + self-join recomputed the keys pipeline for the guard
+    # join and AGAIN for each join side (AQE does not reuse the exchange)
+    # while concentrating a hot key's K² output in one task anyway.
     keys = block_keys(docs)
     if max_key_fanout is not None:
-        counts = keys.groupBy("part", "bkey").agg(F.count(F.lit(1)).alias("_kc"))
-        keys = keys.join(counts.where(F.col("_kc") <= max_key_fanout), ["part", "bkey"]).drop("_kc")
-
-    a = keys.alias("a")
-    b = keys.alias("b")
-    pairs = (
-        a.join(b, ["part", "bkey"])
-        .where(F.col("a.doc_id") != F.col("b.doc_id"))
-        .select(
-            "part",
-            F.col("a.doc_id").alias("a_doc_id"),
-            F.col("b.doc_id").alias("b_doc_id"),
-            F.substring("bkey", 1, 1).alias("_block"),
+        keys = (
+            keys.withColumn(
+                "_kc", F.count(F.lit(1)).over(Window.partitionBy("part", "bkey"))
+            )
+            .where(F.col("_kc") <= max_key_fanout)
+            .drop("_kc")
         )
+    grouped = keys.groupBy("part", "bkey").agg(F.collect_list("doc_id").alias("_ids"))
+    pairs = (
+        grouped.select(
+            "part",
+            F.substring("bkey", 1, 1).alias("_block"),
+            F.explode("_ids").alias("a_doc_id"),
+            F.col("_ids"),
+        )
+        .select("part", "_block", "a_doc_id", F.explode("_ids").alias("b_doc_id"))
+        .where(F.col("a_doc_id") != F.col("b_doc_id"))
     )
     deduped = pairs.groupBy("part", "a_doc_id", "b_doc_id").agg(
         F.min(
