@@ -352,11 +352,25 @@ def cosine_near_duplicates(
                 .where(F.col("_bc") <= max_bucket)
                 .drop("_bc")
             )
-        a, b = buckets.alias("a"), buckets.alias("b")
+        # per-bucket sorted id array → i<j pair explosion: the signature
+        # pipeline (a Pandas-UDF matmul per row) runs exactly ONCE — a
+        # bucket self-join would recompute it for both sides (AQE does
+        # not reuse the exchange) and concentrates a hot bucket's O(K²)
+        # pair output in one task anyway
+        grouped = buckets.groupBy("bucket").agg(
+            F.array_sort(F.collect_list("_id")).alias("_ids")
+        )
+        exploded = grouped.select(
+            F.posexplode("_ids").alias("_i", "a_id"), F.col("_ids")
+        )
         pair_ids = (
-            a.join(b, "bucket")
-            .where(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("a_id"), F.col("b._id").alias("b_id"))
+            exploded.select(
+                "a_id",
+                F.explode(
+                    F.slice(F.col("_ids"), F.col("_i") + 2, F.size("_ids"))
+                ).alias("b_id"),
+            )
+            .where(F.col("a_id") != F.col("b_id"))
             .dropDuplicates(["a_id", "b_id"])
         )
         # vectors re-enter via two key joins (NOT carried through the band
