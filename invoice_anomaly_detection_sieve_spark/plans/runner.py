@@ -91,11 +91,14 @@ def run_incremental(
     documents_table: str,
     media_registry: DataFrame,
     source_catalog: ParquetCatalog | None = None,
+    since_snapshot: int | None = None,
     **run_kwargs,
 ) -> dict:
     """Validate only the documents appended since the last COMPLETE
     incremental run (OPS-002 requirements.md:325; the Iceberg
     incremental-scan story, scripts/backfill_score.py:16-38).
+    ``since_snapshot`` overrides the ledger bookmark — an explicit
+    replay-from-snapshot for backfills (0 = full table).
 
     The documents table lives in ``source_catalog`` (default: the output
     catalog). Snapshot bookkeeping: each run's ledger rows carry the
@@ -107,7 +110,11 @@ def run_incremental(
     """
     src = source_catalog or catalog
     current = src.latest_snapshot_id(documents_table)
-    since = last_consumed_snapshot(catalog)
+    since = (
+        since_snapshot
+        if since_snapshot is not None
+        else last_consumed_snapshot(catalog)
+    )
     if current <= since:
         return {
             "run_id": None,
@@ -246,6 +253,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--incremental", action="store_true",
                    help="validate only documents appended since the last "
                         "COMPLETE incremental run (no-op when nothing is new)")
+    p.add_argument("--since-snapshot", type=int, default=None, metavar="ID",
+                   help="with --incremental: replay from this documents-table "
+                        "snapshot id instead of the ledger bookmark (0 = full)")
     p.add_argument("--registry", required=True, help="parquet path of the media registry")
     p.add_argument("--warehouse", required=True, help="catalog root for outputs")
     p.add_argument("--run-id", default=None)
@@ -259,7 +269,8 @@ def main(argv: list[str] | None = None) -> None:
         if not args.documents_table:
             p.error("--incremental requires --documents-table")
         metrics = run_incremental(
-            spark, catalog, args.documents_table, registry, run_id=args.run_id
+            spark, catalog, args.documents_table, registry, run_id=args.run_id,
+            since_snapshot=args.since_snapshot,
         )
     else:
         if not args.documents:

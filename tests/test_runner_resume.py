@@ -161,3 +161,29 @@ def test_incremental_empty_append_advances_bookmark(spark, tmp_path, corpus):
     # the bookmark advanced: the next run is a true no-op
     m3 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
     assert m3["no_op"] and m3["snapshot_since"] == m2["snapshot_consumed"]
+
+
+def test_incremental_since_snapshot_override(spark, tmp_path, corpus):
+    """--since-snapshot replays from an explicit snapshot id instead of
+    the ledger bookmark (backfill / reprocess-from-here)."""
+    documents, registry = corpus
+    catalog = ParquetCatalog(spark, str(tmp_path / "whs"))
+    cfg = V.ValidationConfig(dq_as_of="2024-04-01")
+
+    part = part_of(F.col("doc_id"))
+    b1 = documents.where(part.isin("P0", "P1"))
+    b2 = documents.where(~part.isin("P0", "P1"))
+    s1 = catalog.append("documents", b1)
+    catalog.append("documents", b2)
+
+    # bookmarked run consumes everything
+    m1 = runner.run_incremental(spark, catalog, "documents", registry, config=cfg)
+    assert m1["docs_validated"] == documents.count()
+
+    # explicit replay from s1: only the second batch, despite the bookmark
+    m2 = runner.run_incremental(
+        spark, catalog, "documents", registry, config=cfg, since_snapshot=s1
+    )
+    assert not m2["no_op"]
+    assert m2["docs_validated"] == b2.count()
+    assert m2["snapshot_since"] == s1
