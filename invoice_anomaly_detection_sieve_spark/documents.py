@@ -28,10 +28,6 @@ def part_of(doc_id: Column) -> Column:
     return F.substring_index(doc_id, "-", 1)
 
 
-def _offset_cmp(a: Column, b: Column) -> Column:
-    return F.when(a["offset"] < b["offset"], -1).when(a["offset"] > b["offset"], 1).otherwise(0)
-
-
 def sorted_spans(spans: Column) -> Column:
     """Offset-ordered copy of the span array, sorted ONCE with the native
     struct ordering (offset leads the key struct).
@@ -49,8 +45,12 @@ def sorted_spans(spans: Column) -> Column:
 
 
 def spans_of_kind(spans: Column, kind: str) -> Column:
-    """Offset-ordered spans of one kind."""
-    return F.array_sort(F.filter(spans, lambda s: s["kind"] == kind), _offset_cmp)
+    """Offset-ordered spans of one kind — the SAME total order as
+    ``sorted_spans`` (offset, then remaining struct fields on ties), so
+    every extraction path agrees on tie-offset documents. The previous
+    comparator sort kept input order on ties, which could disagree with
+    ``extract_docs`` about which span is 'first'."""
+    return _kind_of_sorted(sorted_spans(spans), kind)
 
 
 def _kind_of_sorted(ordered: Column, kind: str) -> Column:
@@ -85,9 +85,12 @@ def numeric_span_text(spans: Column, kind: str) -> Column:
 
 
 def all_media_refs(spans: Column) -> Column:
-    """Every non-null media_ref in span order (for the referential check)."""
-    ordered = F.array_sort(spans, _offset_cmp)
-    return F.filter(F.transform(ordered, lambda s: s["media_ref"]), lambda r: r.isNotNull())
+    """Every non-null media_ref in span order (for the referential check),
+    using the same total order as ``sorted_spans``."""
+    return F.filter(
+        F.transform(sorted_spans(spans), lambda s: s["media_ref"]),
+        lambda r: r.isNotNull(),
+    )
 
 
 def lines_col(spans: Column) -> Column:

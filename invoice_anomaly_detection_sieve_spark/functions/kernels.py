@@ -22,7 +22,6 @@ cap, requirements.md:175), so an O(n^2·m) exact solver is cheap.
 
 from __future__ import annotations
 
-import json
 import math
 from functools import lru_cache
 from typing import Any
@@ -417,7 +416,7 @@ def _nan_to_zero(values, n: int) -> np.ndarray:
 
 def line_assign_features_arrays(
     a_desc, a_qty, a_up, a_amt,
-    b_desc, b_qty, b_up, b_amt,
+    b_desc, b_qty, b_up,
     alpha: float = 0.7,
     beta: float = 0.2,
     gamma: float = 0.1,
@@ -600,15 +599,21 @@ def line_assign_features(
     ``line_assign_features_arrays`` (tests and the reference fixtures use
     this form; the pair kernel calls the array form directly).
     """
-    def unpack(lines):
+    def unpack(lines, with_amt):
         descs = [x.get("desc_norm") for x in lines]
         qty = [_f(x.get("qty")) for x in lines]
         up = [_f(x.get("unit_price")) for x in lines]
-        amt = [_f(x.get("amount")) for x in lines]
-        return descs, qty, up, amt
+        if not with_amt:
+            return descs, qty, up
+        return descs, qty, up, [_f(x.get("amount")) for x in lines]
 
+    # the b-side amounts never enter the math (reference app/features.py
+    # reads only the A side's amounts for the unmatched fraction), so the
+    # array form does not take them — and the pair kernel does not ship
+    # them across Arrow
     cov, frac, new_items, med = line_assign_features_arrays(
-        *unpack(a_lines), *unpack(b_lines), alpha=alpha, beta=beta, gamma=gamma
+        *unpack(a_lines, True), *unpack(b_lines, False),
+        alpha=alpha, beta=beta, gamma=gamma
     )
     return {
         "line_coverage_pct": cov,
@@ -638,13 +643,3 @@ def dice_3gram(a_text: str, b_text: str) -> float:
     denom = max(len(a) + len(b), 1)
     return float(min(1.0, 2.0 * len(a & b) / denom))
 
-
-def parse_line_payload(text: str | None) -> dict[str, Any]:
-    """Decode a kind='line' span's JSON payload; tolerant of junk."""
-    if not text:
-        return {}
-    try:
-        out = json.loads(text)
-    except (ValueError, TypeError):
-        return {}
-    return out if isinstance(out, dict) else {}

@@ -105,9 +105,12 @@ def span_canonical(spans: Column) -> Column:
     This string is the per-row invariant carried on every violation row
     (input_hint: span-sequence equality (kind, text, media_ref, order)).
     """
-    ordered = F.array_sort(
-        spans, lambda a, b: F.when(a.offset < b.offset, -1).when(a.offset > b.offset, 1).otherwise(0)
-    )
+    # keyed NATIVE sort — the same total order as documents.sorted_spans
+    # (offset leads, remaining struct fields break ties), so the canonical
+    # string agrees with extract_docs on tie-offset documents; a
+    # comparator sort would keep input order on ties and disagree
+    keyed = F.transform(spans, lambda s: F.struct(s.offset.alias("o"), s.alias("s")))
+    ordered = F.transform(F.sort_array(keyed), lambda x: x["s"])
     return span_canonical_sorted(ordered)
 
 

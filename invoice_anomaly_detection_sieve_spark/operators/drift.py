@@ -37,12 +37,22 @@ BENFORD_CHI2_ALERT = 26.12  # χ² critical value, df=8, α=0.001 (the flag)
 
 
 def with_anomaly_scores(
-    docs: DataFrame, profiles: DataFrame, history_counts: DataFrame
+    docs: DataFrame,
+    profiles: DataFrame,
+    history_counts: DataFrame,
+    history_includes_self: bool = True,
 ) -> DataFrame:
     """Attach amount_z, outlier flag, anom_prob per doc.
 
     ``docs`` must already carry ``bank_change`` (registry.bank_change_flags).
     Profiles/history are one-row-per-partition ⇒ broadcast joins (J5).
+
+    ``history_includes_self``: True when the history count was profiled
+    from the corpus being validated (each doc is in its own history, so
+    "prior invoices" = count − 1, app/anomaly.py:32-41); False for a
+    STORED baseline, whose count already excludes the incoming doc —
+    subtracting 1 there would shift the <5 cold-history discount boundary
+    by one for every partition.
     """
     prof = profiles.select(
         F.col("part"),
@@ -52,7 +62,14 @@ def with_anomaly_scores(
     )
     hist = history_counts.select("part", "part_doc_count")
     out = docs.join(broadcast(prof), "part", "left").join(broadcast(hist), "part", "left")
-    hist_excl_self = F.greatest(F.coalesce(F.col("part_doc_count"), F.lit(1)) - 1, F.lit(0))
+    if history_includes_self:
+        hist_excl_self = F.greatest(
+            F.coalesce(F.col("part_doc_count"), F.lit(1)) - 1, F.lit(0)
+        )
+    else:
+        hist_excl_self = F.greatest(
+            F.coalesce(F.col("part_doc_count"), F.lit(0)), F.lit(0)
+        )
     z = S.amount_z(F.col("total"), F.col("_bl_mean"), F.col("_bl_std"), F.col("_bl_n"))
     out = (
         out.withColumn("amount_z", z)

@@ -57,6 +57,9 @@ PAIR_LINE_ARRAYS = {
     "line_amts": lambda l: l["amount"],
 }
 
+# b-side per-line arrays actually consumed by the kernel (no amounts)
+_B_LINE_ARRAYS = {k: v for k, v in PAIR_LINE_ARRAYS.items() if k != "line_amts"}
+
 PAIR_KERNEL_TYPE = (
     "invnum_edit double, text_cosine double, line_coverage_pct double, "
     "unmatched_amount_frac double, count_new_items double, median_unit_price_diff double"
@@ -66,7 +69,7 @@ PAIR_KERNEL_TYPE = (
 def _pair_kernel_fn(
     a_inv: pd.Series, b_inv: pd.Series,
     a_descs: pd.Series, a_qtys: pd.Series, a_ups: pd.Series, a_amts: pd.Series,
-    b_descs: pd.Series, b_qtys: pd.Series, b_ups: pd.Series, b_amts: pd.Series,
+    b_descs: pd.Series, b_qtys: pd.Series, b_ups: pd.Series,
 ) -> pd.DataFrame:
     """All Python-side pair features in ONE Arrow crossing:
 
@@ -107,13 +110,13 @@ def _pair_kernel_fn(
     blob = _blob_of  # documents.py desc_blob reconstruction
     it = zip(
         a_inv.tolist(), b_inv.tolist(),
-        a_descs, a_qtys, a_ups, a_amts, b_descs, b_qtys, b_ups, b_amts,
+        a_descs, a_qtys, a_ups, a_amts, b_descs, b_qtys, b_ups,
     )
-    for i, (ai, bi, ad, aq, au, aa, bd, bq, bu, ba) in enumerate(it):
+    for i, (ai, bi, ad, aq, au, aa, bd, bq, bu) in enumerate(it):
         ab, bb = blob(ad), blob(bd)
         cov, frac, new_items, med = K.line_assign_features_arrays(
             ad if ad is not None else empty, aq, au, aa,
-            bd if bd is not None else empty, bq, bu, ba,
+            bd if bd is not None else empty, bq, bu,
         )
         out["line_coverage_pct"][i] = cov
         out["unmatched_amount_frac"][i] = frac
@@ -134,17 +137,25 @@ def _blob_of(descs) -> str:
 
 
 # pandas_udf parses its DDL return type against the active session, so the
-# udf object is created lazily on first use.
-_UDF_CACHE: dict[str, object] = {}
+# udf object is created lazily on first use — and keyed by the live
+# SparkContext: a cached udf binds to the context active at creation, so a
+# stop()/rebuild in the same process would otherwise reuse a udf whose
+# JVM references are dead.
+_UDF_CACHE: dict[tuple, object] = {}
 
 
 def pair_kernel(*cols):
-    if "pk" not in _UDF_CACHE:
-        _UDF_CACHE["pk"] = pandas_udf(_pair_kernel_fn, PAIR_KERNEL_TYPE)
-    return _UDF_CACHE["pk"](*cols)
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    key = ("pk", id(sess.sparkContext) if sess is not None else None)
+    if key not in _UDF_CACHE:
+        _UDF_CACHE.clear()  # drop udfs bound to stopped contexts
+        _UDF_CACHE[key] = pandas_udf(_pair_kernel_fn, PAIR_KERNEL_TYPE)
+    return _UDF_CACHE[key](*cols)
 
 
-def _prefixed(docs: DataFrame, prefix: str) -> DataFrame:
+def _prefixed(docs: DataFrame, prefix: str, line_arrays=None) -> DataFrame:
     """Pair payload projection: scalar header columns plus the per-line
     flat arrays. The transforms run once per DOC row (the projection sits
     below the pair join's exchange), not once per pair."""
@@ -152,7 +163,7 @@ def _prefixed(docs: DataFrame, prefix: str) -> DataFrame:
     lines = F.col("lines")
     sel += [
         F.transform(lines, fn).alias(prefix + name)
-        for name, fn in PAIR_LINE_ARRAYS.items()
+        for name, fn in (line_arrays or PAIR_LINE_ARRAYS).items()
     ]
     return docs.select(*sel)
 
@@ -164,7 +175,11 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     flags, dup_prob.
     """
     a = _prefixed(docs, "a_")
-    b = _prefixed(docs, "b_")
+    # the kernel never reads the b side's per-line amounts (the unmatched
+    # fraction is over the A side's amounts, app/features.py:54-65), so
+    # they are dropped from the payload: every pair ships its payload
+    # ~200x, and an unread array<double> is pure shuffle + Arrow traffic
+    b = _prefixed(docs, "b_", _B_LINE_ARRAYS)
     # Two plan constraints, both scale- and CPU-driven (see the round-4
     # stage profile in BENCH/BASELINE.md):
     # - the capped pair ids are byte-tiny (a few MB at sf0.1), so AQE's
@@ -199,7 +214,7 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         pair_kernel(
             F.col("a_invnum_norm"), F.col("b_invnum_norm"),
             *[F.col("a_" + name) for name in PAIR_LINE_ARRAYS],
-            *[F.col("b_" + name) for name in PAIR_LINE_ARRAYS],
+            *[F.col("b_" + name) for name in _B_LINE_ARRAYS],
         ).alias("_pk"),
         # carried through for rule evaluation on the top-1 row
         F.col("a_invnum_norm"),
@@ -212,9 +227,7 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("b_pdf_hash"),
     ).select("*", "_pk.*").drop("_pk")
 
-    feature_cols = {name: F.col(name) for name in S.FEATURE_ORDER if name != "bank_change_flag"}
-    feature_cols["bank_change_flag"] = F.col("bank_change_flag")
-    scored = j.withColumn("dup_prob", S.dup_probability(feature_cols))
+    scored = j.withColumn("dup_prob", S.dup_probability())
 
     # deterministic rules evaluated per pair; applied from the top-1 row only
     scored = scored.withColumn(
@@ -253,5 +266,4 @@ def doc_duplicate_signals(scored: DataFrame, k: int = 3) -> DataFrame:
         first(F.col("rule_exact_invnum")).alias("rule_exact_invnum"),
         first(F.col("rule_same_po_near_total")).alias("rule_same_po_near_total"),
         first(F.col("rule_pdf_near_dup")).alias("rule_pdf_near_dup"),
-        first(F.col("text_cosine")).alias("top_text_cosine"),
     )

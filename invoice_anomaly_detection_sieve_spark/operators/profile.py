@@ -70,6 +70,23 @@ def profile(docs: DataFrame, field: str = "total", group_col: str = "part") -> D
     )
 
 
+def digit_histogram(docs: DataFrame, field: str = "total", group_col: str = "part") -> DataFrame:
+    """Leading-digit histogram alone (the Benford input) — one slim
+    groupBy for testing CURRENT data against the Benford expectation when
+    a stored baseline supplies the rest of the profile (recomputing the
+    full profile just for its digit_hist would waste the sketch work)."""
+    digit = leading_digit(F.col(field))
+    return (
+        docs.groupBy(group_col)
+        .agg(
+            F.array(
+                *[F.sum((digit == str(d)).cast("long")) for d in range(1, 10)]
+            ).alias("digit_hist")
+        )
+        .select(F.col(group_col).alias("part"), "digit_hist")
+    )
+
+
 def profile_moments_salted(
     docs: DataFrame, field: str = "total", group_col: str = "part", n_salt: int = 16
 ) -> DataFrame:

@@ -35,9 +35,17 @@ class ValidationConfig:
     dq_as_of: str | None = None  # pin "today" for deterministic DQ date checks
     enable_dq: bool = True
     enable_benford: bool = True
-    constraints: tuple[str, ...] = field(
-        default=("uniqueness", "referential", "row_dq", "drift"), init=False
-    )
+    # derived in __post_init__: the audit ledger's constraints_evaluated
+    # must list what actually RAN, not the full menu (a run with
+    # enable_dq=False claiming row_dq misleads anyone auditing coverage)
+    constraints: tuple[str, ...] = field(default=(), init=False)
+
+    def __post_init__(self):
+        evaluated = ["uniqueness", "referential"]
+        if self.enable_dq:
+            evaluated.append("row_dq")
+        evaluated.append("drift")  # z-score/anomaly path is unconditional
+        self.constraints = tuple(evaluated)
 
 
 def doc_verdicts(
@@ -62,6 +70,7 @@ def doc_verdicts_from_docs(
     media_registry: DataFrame,
     baseline_profiles: DataFrame | None = None,
     config: ValidationConfig | None = None,
+    history_includes_self: bool | None = None,
 ) -> DataFrame:
     """Core verdict DAG over an already-extracted docs DataFrame.
 
@@ -70,8 +79,14 @@ def doc_verdicts_from_docs(
     — callers validating a whole table should persist/materialize ``docs``
     first (run_validation does) so the span parse runs once, not per
     branch.
+
+    ``history_includes_self`` defaults to "self-profiling iff no stored
+    baseline was passed"; run_validation passes it explicitly because it
+    pre-computes the profiles and hands them in either way.
     """
     cfg = config or ValidationConfig()
+    if history_includes_self is None:
+        history_includes_self = baseline_profiles is None
     profiles = (
         baseline_profiles
         if baseline_profiles is not None
@@ -96,7 +111,9 @@ def doc_verdicts_from_docs(
 
     # anomaly path: registry flag + baseline z + history discount
     flagged = registry.bank_change_flags(docs, media_registry)
-    flagged = drift.with_anomaly_scores(flagged, profiles, hist)
+    flagged = drift.with_anomaly_scores(
+        flagged, profiles, hist, history_includes_self=history_includes_self
+    )
     if cfg.enable_dq:
         flagged = rowchecks.with_row_checks(flagged, as_of=cfg.dq_as_of)
     else:
@@ -201,7 +218,6 @@ def violations_from_verdicts(verdicts: DataFrame) -> DataFrame:
 
 def partition_verdicts(
     verdicts: DataFrame,
-    profiles: DataFrame | None = None,
     benford: DataFrame | None = None,
 ) -> DataFrame:
     """Per-partition pass/fail rollup: counts by decision, violation
@@ -266,12 +282,28 @@ def run_validation(
     # part × field) would fan out the profile joins and Benford stats
     if "field" in profiles.columns:
         profiles = profiles.where(F.col("field") == "total")
-    verdicts = doc_verdicts_from_docs(docs, media_registry, profiles, cfg)
-    benford = drift.benford_stats(profiles) if cfg.enable_benford else None
+    verdicts = doc_verdicts_from_docs(
+        docs, media_registry, profiles, cfg,
+        history_includes_self=(baseline_profiles is None),
+    )
+    if cfg.enable_benford:
+        # Benford conformity is a test of the data being VALIDATED: under
+        # a stored baseline the profile's digit_hist describes the
+        # HISTORY, so a grossly non-Benford current batch would pass (and
+        # a failed historical distribution would fail every future run).
+        # Self-profiling reuses the profile's hist — same data.
+        ben_src = (
+            profiles
+            if baseline_profiles is None
+            else profile.digit_histogram(docs, "total")
+        )
+        benford = drift.benford_stats(ben_src)
+    else:
+        benford = None
     return {
         "doc_verdicts": verdicts,
         "violations": violations_from_verdicts(verdicts),
-        "part_verdicts": partition_verdicts(verdicts, profiles, benford),
+        "part_verdicts": partition_verdicts(verdicts, benford),
         "profiles": profiles,
         "extracted_docs": docs,
     }

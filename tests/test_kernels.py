@@ -178,14 +178,13 @@ def test_line_assign_tie_equivalence_small_vs_numpy():
     b_desc = ["widget", "widget", "other"]
     b_qty = [2.0, 2.0, 9.0]
     b_up = [10.0, 10.0, 99.0]
-    b_amt = [20.0, 20.0, 891.0]
     small = K.line_assign_features_arrays(
-        a_desc, a_qty, a_up, a_amt, b_desc, b_qty, b_up, b_amt
+        a_desc, a_qty, a_up, a_amt, b_desc, b_qty, b_up
     )
     pad = 9  # push m over the ≤8 threshold with strictly-worse columns
     big = K.line_assign_features_arrays(
         a_desc, a_qty, a_up, a_amt,
         b_desc + ["zzz"] * pad, b_qty + [50.0] * pad,
-        b_up + [999.0] * pad, b_amt + [49950.0] * pad,
+        b_up + [999.0] * pad,
     )
     assert small == big

@@ -227,3 +227,46 @@ def test_isolation_scores_skewed_partition_streams_batches(spark):
     want = np.power(2.0, -(paths / 32) / max(M._c(float(model["psi"])), 1e-12))
     got = np.array([by[f"d{i:05d}"] for i in range(n)])
     assert np.array_equal(got, want)
+
+
+def test_stored_baseline_history_count_not_decremented(spark, docs):
+    """Self-profiling excludes the doc from its own history (count - 1);
+    a STORED baseline's count already excludes it — decrementing there
+    shifted the <5 cold-history discount boundary by one."""
+    prof = profile.profile(docs, "total")
+    hist = prof.select("part", F.col("cnt").alias("part_doc_count"))
+    flagged = docs.withColumn("bank_change", F.lit(False))
+    cnt = {r["part"]: r["cnt"] for r in prof.collect()}
+
+    self_prof = drift.with_anomaly_scores(flagged, prof, hist)  # default True
+    stored = drift.with_anomaly_scores(
+        flagged, prof, hist, history_includes_self=False
+    )
+    got_self = {r["part"]: r["hist_count"]
+                for r in self_prof.select("part", "hist_count").distinct().collect()}
+    got_stored = {r["part"]: r["hist_count"]
+                  for r in stored.select("part", "hist_count").distinct().collect()}
+    for part, n in cnt.items():
+        assert got_self[part] == n - 1
+        assert got_stored[part] == n
+
+
+def test_stored_baseline_benford_tests_current_data(spark, docs):
+    """Benford conformity is a property of the data being VALIDATED: with
+    a stored baseline from a healthy history, a grossly non-Benford
+    current batch must FAIL (previously the baseline's own digit_hist was
+    tested, so the batch always inherited the history's verdict)."""
+    healthy = docs.where(F.col("part") == "P1")  # log10-uniform: conforms
+    baseline = train.train_baselines(healthy)
+    # current batch: same partition, uniform leading digits 1..9 (fails)
+    bad_now = healthy.withColumn(
+        "total", (F.lit(1000.0) + (F.abs(F.hash("doc_id")) % 9) * F.lit(1111.0)).cast("double")
+    )
+    # run_validation re-extracts from raw documents; here docs are already
+    # extracted, so drive the same pieces run_validation wires together:
+    cur_hist = profile.digit_histogram(bad_now, "total")
+    ben = {r["part"]: r["benford_fail"] for r in drift.benford_stats(cur_hist).collect()}
+    assert ben["P1"] is True  # current data fails...
+    base_ben = {r["part"]: r["benford_fail"]
+                for r in drift.benford_stats(baseline.where(F.col("field") == "total")).collect()}
+    assert base_ben["P1"] is False  # ...while the history conforms
