@@ -17,14 +17,38 @@ orders of magnitude more work than the shuffle moves.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
+# logical-plan nodes that imply an exchange somewhere in the plan: the
+# under-partitioned-LEAF-SCAN problem this guard exists for cannot occur
+# past a shuffle (AQE rebalances post-shuffle stages), and probing
+# df.rdd there would EXECUTE the upstream stages under AQE just to count
+# partitions — which the real action then recomputes. A NARROW
+# Repartition (coalesce: "Repartition N, false") is exempt — it is free
+# to probe and is itself an under-parallelism the guard should fix.
+_EXCHANGE_NODES = (
+    "Aggregate", "Join", "Window", "RepartitionByExpression",
+    "Sort", "Deduplicate", "GlobalLimit",
+)
+_SHUFFLE_REPARTITION = re.compile(r"Repartition \d+, true")
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin rebalance ``df`` iff it has fewer partitions than the
-    session's default parallelism (or ``min_partitions`` if given)."""
+    """Round-robin rebalance ``df`` iff it is a shuffle-free (scan-shaped)
+    plan with fewer partitions than the session's default parallelism (or
+    ``min_partitions`` if given). Plans that already contain an exchange
+    are returned unchanged — see _EXCHANGE_NODES."""
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        plan = ""
+    if any(node in plan for node in _EXCHANGE_NODES) or _SHUFFLE_REPARTITION.search(plan):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -61,7 +61,12 @@ def dangling_refs(docs: DataFrame, media_registry: DataFrame) -> DataFrame:
 
 def fresh_keys(media_registry: DataFrame) -> DataFrame:
     """Registry keys first seen ≈ now they were last seen (≤1 min window) —
-    the 'brand-new account' heuristic (app/anomaly.py:63-64)."""
+    the 'brand-new account' heuristic, BYTE-FAITHFUL to the reference:
+    app/anomaly.py:64 computes exactly ``(last_seen - first_seen) <=
+    timedelta(minutes=1)``, so a key observed only once stays 'fresh'
+    until a later observation advances last_seen — in the reference via
+    its per-request upsert, here via update_registry / the streaming
+    sink. Intentional parity, not an oversight."""
     return media_registry.where(
         F.unix_timestamp("last_seen") - F.unix_timestamp("first_seen") <= FRESH_WINDOW_SEC
     )

@@ -75,21 +75,25 @@ def quality_features(col: Column) -> dict[str, Column]:
 
 def quality_score(col: Column) -> Column:
     """Composite 0-1 quality score: rewards stopword presence and sane
-    word lengths, penalizes punctuation/digit noise and tiny docs."""
+    word lengths, penalizes punctuation/digit noise and tiny docs.
+    Delegates to ``_score_expr`` — ONE copy of the weights, shared with
+    the corpus-scale ``with_text_stats`` path (note the two paths tokenize
+    differently by design: this one matches stopwords on raw lowered
+    whitespace tokens, the corpus path on punctuation-stripped tokens —
+    each is pinned by its own oracle)."""
     f = quality_features(col)
-    score = (
-        F.lit(0.3) * F.least(f["stopword_ratio"] * 4.0, F.lit(1.0))
-        + F.lit(0.25) * F.when((f["mean_word_len"] >= 3) & (f["mean_word_len"] <= 10), 1.0).otherwise(0.3)
-        + F.lit(0.2) * (1.0 - F.least(f["punct_ratio"] * 5.0, F.lit(1.0)))
-        + F.lit(0.15) * (1.0 - F.least(f["digit_ratio"] * 5.0, F.lit(1.0)))
-        + F.lit(0.1) * F.least(f["n_tokens"].cast("double") / 50.0, F.lit(1.0))
+    return _score_expr(
+        f["stopword_ratio"], f["mean_word_len"], f["punct_ratio"],
+        f["digit_ratio"], f["n_tokens"],
     )
-    return F.round(score, 6)
 
 
 def language_scores(col: Column) -> dict[str, Column]:
-    """Per-language stopword hit rate over the document's tokens."""
-    toks = F.transform(tokens(N.desc_norm(col)), lambda t: t)
+    """Per-language stopword hit rate over the document's tokens
+    (tokenized from desc_norm output — punctuation becomes spaces — which
+    intentionally differs from quality_features' raw-token denominator;
+    each path is pinned by its own oracle)."""
+    toks = tokens(N.desc_norm(col))
     n = F.size(toks)
     out = {}
     for lang, words in STOPWORDS.items():

@@ -28,7 +28,9 @@ def open_cases(verdicts: DataFrame, run_ts) -> DataFrame:
     """Case rows for every verdict that needs manual work."""
     ts = F.to_timestamp(F.lit(str(run_ts)))
     return verdicts.where(F.col("decision").isin(*CASE_OPEN_DECISIONS)).select(
-        F.concat(F.lit("case_"), F.substring(F.sha2(F.col("doc_id"), 256), 1, 12)).alias(
+        # 32 hex chars = 128 bits: a 12-char (48-bit) id hits birthday
+        # collisions at ~17M cases — guaranteed conflation at target scale
+        F.concat(F.lit("case_"), F.substring(F.sha2(F.col("doc_id"), 256), 1, 32)).alias(
             "case_id"
         ),
         "part",
@@ -54,9 +56,15 @@ def route_cases(catalog: ParquetCatalog, verdicts: DataFrame, run_ts) -> int:
         existing = catalog.read(CASES_TABLE).select(
             F.col("doc_id").alias("_doc_id"), F.col("created_at").alias("_created_at")
         )
+        # NO broadcast: the cases table grows one row per flagged doc
+        # across ALL runs — O(history), the same unbounded-broadcast ban
+        # as the dup rollup (plans/validate.py). shuffle_hash keys both
+        # sides on doc_id: bounded exchanges, no driver collect.
         fresh = (
             fresh.join(
-                F.broadcast(existing), fresh["doc_id"] == existing["_doc_id"], "left"
+                existing.hint("shuffle_hash"),
+                fresh["doc_id"] == existing["_doc_id"],
+                "left",
             )
             .withColumn("created_at", F.coalesce("_created_at", "created_at"))
             .drop("_doc_id", "_created_at")

@@ -57,7 +57,11 @@ def heuristic_labels() -> F.Column:
         & (F.abs(F.col("a_total") - F.col("b_total")) <= 0.01)
         & (F.col("days_diff") <= 5)
     )
-    return (same_inv | same_pdf | near).cast("int")
+    # coalesce: a null-valued clause (null b-side invnum/pdf makes `a == b`
+    # null; null date makes days_diff null) must read as NOT-a-duplicate,
+    # not leak SQL null into the label — a NaN label crashes fit_logistic
+    # (int(y.sum())) and would NaN-poison every weight after one step
+    return F.coalesce(same_inv | same_pdf | near, F.lit(False)).cast("int")
 
 
 def training_matrix(docs: DataFrame, cap: int = 200) -> DataFrame:

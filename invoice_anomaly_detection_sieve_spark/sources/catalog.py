@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import json
 import os
+import re
+import shutil
 import time
 import uuid
 
@@ -57,8 +59,12 @@ class ParquetCatalog:
         d = self._snap_dir(name)
         if not os.path.isdir(d):
             return []
+        # only committed manifests (N.json): a crash between writing the
+        # .tmp and the rename leaves '.N.json.tmp' behind, and parsing it
+        # as int('') would brick EVERY later operation on the table
+        names = [f for f in os.listdir(d) if re.fullmatch(r"\d+\.json", f)]
         out = []
-        for f in sorted(os.listdir(d), key=lambda x: int(x.split(".")[0])):
+        for f in sorted(names, key=lambda x: int(x.split(".")[0])):
             with open(os.path.join(d, f)) as fh:
                 out.append(json.load(fh))
         return out
@@ -126,11 +132,27 @@ class ParquetCatalog:
         if os.path.isdir(data):
             os.rename(data, backup)
         os.rename(staged, data)
+        # GC generations older than the one just retired: without it every
+        # merge (profiles/cases run per validation) keeps a FULL copy of
+        # the table forever — O(runs × size) storage. The newest backup is
+        # kept one generation so an in-flight reader of the pre-swap files
+        # is not yanked mid-scan.
+        self._gc_generations(name, keep={f"old-{gen}", f"stage-{gen}"})
         files = [f for f in os.listdir(data) if f.endswith(".parquet")]
         meta = self.table_meta(name)
         if meta.pop("bucket_spec", None) is not None:  # layout destroyed
             self._write_meta(name, meta)
         return self._record_snapshot(name, files, "overwrite")
+
+    def _gc_generations(self, name: str, keep: set[str]) -> None:
+        """Remove retired ``old-*`` backups and orphaned ``stage-*``
+        leftovers (crashed writes), except the names in ``keep``."""
+        d = self._table_dir(name)
+        for entry in os.listdir(d):
+            if entry in keep:
+                continue
+            if entry.startswith("old-") or entry.startswith("stage-"):
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
 
     def merge_upsert(
         self, name: str, source: DataFrame, keys: list[str], buckets: int | None = None
@@ -224,6 +246,7 @@ class ParquetCatalog:
             backup = os.path.join(self._table_dir(name), f"old-{gen}")
             os.rename(data, backup)
             os.rename(staged, data)
+            self._gc_generations(name, keep={f"old-{gen}"})
             return self._record_snapshot(
                 name, self._bucket_files(data), "merge-bucketed-migrate"
             )

@@ -82,7 +82,19 @@ def sink_registry(
                 catalog._bucket_col(["media_key"], buckets).alias("_b")
             ).distinct().collect()
         ]
-        prev = catalog.read_buckets(table, touched) if catalog.exists(table) else None
+        prev = None
+        if catalog.exists(table):
+            spec = catalog.table_meta(table).get("bucket_spec")
+            if spec and spec.get("keys") == ["media_key"] and spec.get("buckets") == buckets:
+                prev = catalog.read_buckets(table, touched)
+            else:
+                # layout mismatch (table written non-bucketed, or the
+                # stream restarted with a different bucket count): pruned
+                # paths would hash into the WRONG directories and miss
+                # existing keys, silently regressing first_seen to the
+                # current batch. Read the full table once; merge_upsert
+                # migrates the layout on this write and pruning resumes.
+                prev = catalog.read(table)
         if prev is not None:
             prev = prev.select(
                 "media_key",

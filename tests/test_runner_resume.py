@@ -187,3 +187,33 @@ def test_incremental_since_snapshot_override(spark, tmp_path, corpus):
     assert not m2["no_op"]
     assert m2["docs_validated"] == b2.count()
     assert m2["snapshot_since"] == s1
+
+
+def test_catalog_survives_orphan_tmp_manifest(spark, tmp_path):
+    """A crash between writing '.N.json.tmp' and the rename must not
+    brick the table: snapshots() skips non-committed manifests."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "orph"))
+    cat.append("t", spark.createDataFrame([("a",)], "k string"))
+    snap_dir = cat._snap_dir("t")
+    open(os.path.join(snap_dir, ".2.json.tmp"), "w").write("{")
+    assert cat.latest_snapshot_id("t") == 1
+    s2 = cat.append("t", spark.createDataFrame([("b",)], "k string"))
+    assert s2 == 2 and cat.read("t").count() == 2
+
+
+def test_overwrite_gc_keeps_one_backup_generation(spark, tmp_path):
+    """Repeated merges must not keep a full table copy per run: only the
+    newest old-* backup survives an overwrite."""
+    import os
+
+    cat = ParquetCatalog(spark, str(tmp_path / "gc"))
+    df = lambda k: spark.createDataFrame([(k, 1)], "k string, v int")
+    cat.append("t", df("a"))
+    for key in ("b", "c", "d"):
+        cat.merge_upsert("t", df(key), ["k"])
+    old_dirs = [e for e in os.listdir(cat._table_dir("t")) if e.startswith("old-")]
+    assert len(old_dirs) <= 1
+    got = {r["k"] for r in cat.read("t").collect()}
+    assert got == {"a", "b", "c", "d"}

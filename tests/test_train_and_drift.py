@@ -270,3 +270,23 @@ def test_stored_baseline_benford_tests_current_data(spark, docs):
     base_ben = {r["part"]: r["benford_fail"]
                 for r in drift.benford_stats(baseline.where(F.col("field") == "total")).collect()}
     assert base_ben["P1"] is False  # ...while the history conforms
+
+
+def test_heuristic_labels_null_evidence_is_negative(spark):
+    """Null b-side invnum/pdf or a null date must label 0, not SQL null —
+    a NaN label crashes fit_logistic and poisons the weights."""
+    rows = [
+        # a_inv, b_inv, a_pdf, b_pdf, a_total, b_total, days_diff
+        ("INV1", None, None, None, 10.0, 10.0, None),   # null b_inv + null days
+        ("INV2", "INV2", None, None, None, None, 3),     # same invnum -> 1
+        (None, None, "h", "h", 5.0, 99.0, 2),            # same pdf -> 1
+        ("A", "B", None, "x", 5.0, 5.0, None),           # all clauses null/false
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "a_invnum_norm string, b_invnum_norm string, a_pdf_hash string, "
+        "b_pdf_hash string, a_total double, b_total double, days_diff int",
+    )
+    got = [r["label"] for r in df.select(train.heuristic_labels().alias("label")).collect()]
+    assert got == [0, 1, 1, 0]
+    assert all(v is not None for v in got)
