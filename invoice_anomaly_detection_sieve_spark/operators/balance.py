@@ -36,6 +36,27 @@ _EXCHANGE_NODES = (
 _SHUFFLE_REPARTITION = re.compile(r"Repartition \d+, true")
 
 
+def guard_hot_keys(df: DataFrame, keys: list[str], max_count: int | None) -> DataFrame:
+    """Drop rows whose key group exceeds ``max_count`` — the shared
+    hot-key guard for pair-generating operators (a key shared by K rows
+    yields K² pairs; a degenerate key is useless evidence anyway).
+
+    One window count riding the SAME (keys) shuffle the caller's next
+    groupBy uses — WindowExec sorts + spills, so a degenerate key never
+    materializes in memory. ``max_count=None`` is a no-op (exact-recall
+    oracle paths)."""
+    if max_count is None:
+        return df
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    return (
+        df.withColumn("_kc", F.count(F.lit(1)).over(Window.partitionBy(*keys)))
+        .where(F.col("_kc") <= max_count)
+        .drop("_kc")
+    )
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin rebalance ``df`` iff it is a shuffle-free (scan-shaped)
     plan with fewer partitions than the session's default parallelism (or

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .balance import guard_hot_keys
+
 DEFAULT_CAP = 200  # BR-004, app/retrieval.py:12
 
 # block priorities: lower = stronger evidence, drives the deterministic cap
@@ -78,15 +80,7 @@ def candidate_pairs(
     # count-join + self-join recomputed the keys pipeline for the guard
     # join and AGAIN for each join side (AQE does not reuse the exchange)
     # while concentrating a hot key's K² output in one task anyway.
-    keys = block_keys(docs)
-    if max_key_fanout is not None:
-        keys = (
-            keys.withColumn(
-                "_kc", F.count(F.lit(1)).over(Window.partitionBy("part", "bkey"))
-            )
-            .where(F.col("_kc") <= max_key_fanout)
-            .drop("_kc")
-        )
+    keys = guard_hot_keys(block_keys(docs), ["part", "bkey"], max_key_fanout)
     grouped = keys.groupBy("part", "bkey").agg(F.collect_list("doc_id").alias("_ids"))
     pairs = (
         grouped.select(

@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import normalize as N
-from .balance import ensure_min_parallelism
+from .balance import ensure_min_parallelism, guard_hot_keys
 
 DEFAULT_SHINGLE = 5
 DEFAULT_MINHASHES = 16
@@ -142,7 +142,20 @@ def minhash_lsh_pairs(
     the array explosion — while the array side holds only O(bucket) ids
     in the agg buffer. Output: a_id, b_id (a < b), n_shared_bands.
     """
+    if num_hashes % bands:
+        # silent truncation (h{r*b}..h{K-1} dead) would quietly change the
+        # advertised (1-(1-J^r)^b) recall — same contract as the simhash
+        # bands check
+        raise ValueError(
+            f"bands must divide num_hashes (got num_hashes={num_hashes}, "
+            f"bands={bands})"
+        )
     rows_per_band = num_hashes // bands
+    # null-text docs carry no shingles — without this filter every pair of
+    # them shares an all-null signature (Jaccard 1.0 downstream), while
+    # the DuckDB oracles (list_distinct drops NULLs => u=0) exclude them;
+    # "no text" means "no similarity evidence", so exclude from pairing
+    docs = docs.where(F.col(text_col).isNotNull())
     with_sig = minhash_signatures(docs, text_col, id_col, num_hashes, shingle)
     band_arr = F.array(
         *[
@@ -159,15 +172,10 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = with_sig.select("_id", F.explode(band_arr).alias("bucket"))
-    if max_bucket is not None:
-        buckets = (
-            buckets.withColumn(
-                "_bc", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-            )
-            .where(F.col("_bc") <= max_bucket)
-            .drop("_bc")
-        )
+    buckets = guard_hot_keys(
+        with_sig.select("_id", F.explode(band_arr).alias("bucket")),
+        ["bucket"], max_bucket,
+    )
     # sorted per-bucket id array (≤ max_bucket elements under the guard;
     # same partitioning as the window ⇒ no extra exchange), then i<j pair
     # explosion: sorted array ⇒ a_id ≤ b_id by construction; the strict
@@ -325,7 +333,15 @@ def simhash_near_duplicates(
     pass ``None`` to keep exact recall. Output: a_id, b_id, hamming.
     """
     if bands is None:
-        bands = next(b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1)
+        bands = next(
+            (b for b in (1, 2, 4, 8, 16, 32) if b >= max_hamming + 1), None
+        )
+        if bands is None:  # max_hamming >= 32: no 64-divisor band count covers it
+            raise ValueError(
+                f"banded SimHash over 64 bits supports max_hamming <= 31 "
+                f"(needs bands >= max_hamming+1 dividing 64; got "
+                f"max_hamming={max_hamming})"
+            )
     if max_hamming > bands - 1:
         raise ValueError(
             f"banded SimHash guarantees recall only for max_hamming <= bands-1 "
@@ -335,6 +351,10 @@ def simhash_near_duplicates(
         raise ValueError("bands must divide 64")
     width = 64 // bands
     mask = (1 << width) - 1
+    # null-text docs: no grams => identical degenerate signatures would
+    # pair every null doc with every other (hamming 0); the oracle's
+    # NULL-neq-NULL join excludes them — align (no text, no evidence)
+    docs = docs.where(F.col(text_col).isNotNull())
     sig = with_simhash(
         ensure_min_parallelism(docs).select(F.col(id_col).alias("_docid"), F.col(text_col)),
         text_col, "_sig", id_col="_docid",
@@ -357,15 +377,10 @@ def simhash_near_duplicates(
     # reuse (a self-join would recompute the signatures for both sides
     # and concentrates a degenerate bucket's O(bucket²) pair output in
     # one task anyway, same as the array explosion).
-    bucketed = sig.select("_id", "_sig", F.explode(band_arr).alias("_bucket"))
-    if max_bucket is not None:
-        bucketed = (
-            bucketed.withColumn(
-                "_bc", F.count(F.lit(1)).over(Window.partitionBy("_bucket"))
-            )
-            .where(F.col("_bc") <= max_bucket)
-            .drop("_bc")
-        )
+    bucketed = guard_hot_keys(
+        sig.select("_id", "_sig", F.explode(band_arr).alias("_bucket")),
+        ["_bucket"], max_bucket,
+    )
     grouped = bucketed.groupBy("_bucket").agg(
         F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_rows")
     )

@@ -117,8 +117,14 @@ def psi(
     PSI = Σ (pᵢ − 0.1)·ln(pᵢ/0.1) over the current bin proportions.
     Zero-count bins are floored at 1e-4 (standard continuity correction).
 
+    A partition present in ``current`` but ABSENT from the baseline (a
+    novel partition — the strongest possible drift signal) is emitted
+    with psi NULL and psi_fail TRUE; an inner join would silently drop
+    it and the monitor would report all-clear on 100% unseen data.
+
     Output: part, psi, psi_fail.
     """
+    cur_parts = current.where(F.col(field).isNotNull()).select("part").distinct()
     edges = baseline_profiles.select("part", F.col("deciles").alias("_edges"))
     binned = (
         current.where(F.col(field).isNotNull())
@@ -149,7 +155,13 @@ def psi(
         "part",
         (F.col("_psi_present") + (10 - F.col("_nbins")) * F.lit(missing_term)).alias("psi"),
     )
-    return out.withColumn("psi_fail", F.col("psi") > PSI_ALERT)
+    return cur_parts.join(out, "part", "left").select(
+        "part",
+        "psi",
+        F.when(F.col("psi").isNull(), F.lit(True))
+        .otherwise(F.col("psi") > PSI_ALERT)
+        .alias("psi_fail"),
+    )
 
 
 KS_SCHEMA = "part string, ks_stat double, n_current long, n_baseline long"

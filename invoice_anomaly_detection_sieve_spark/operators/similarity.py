@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .balance import guard_hot_keys
+
 
 def l2_norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")))
@@ -135,18 +137,24 @@ def lsh_topk(
     dim: int = 64,
     bits: int = 12,
     bands: int = 3,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine only among candidates sharing any of
     ``bands`` signature bands. At corpus scale this replaces the cross
-    join with a shuffle on (band, band_signature)."""
+    join with a shuffle on (band, band_signature).
+
+    Only IDS travel through the band explode and bucket join — carrying
+    the vectors would ship each 64-float array ``bands`` times per side
+    (the payload ban shared with cosine_near_duplicates); vectors re-enter
+    via two key joins on the deduped candidate set. ``max_bucket`` drops
+    degenerate candidate buckets (templated/near-zero embeddings collapsing
+    to one band pattern), the same hot-key guard as every other pair
+    generator here."""
     bits_per_band = bits // bands
 
     def with_bands(df, prefix):
         sig = hyperplane_signature(F.col(vec_col), dim, bits)
-        out = df.select(
-            F.col(id_col).alias(f"{prefix}_id"), F.col(vec_col).alias(f"{prefix}_vec"),
-            sig.alias("_sig"),
-        )
+        out = df.select(F.col(id_col).alias(f"{prefix}_id"), sig.alias("_sig"))
         band_arr = F.array(
             *[
                 F.concat(
@@ -158,14 +166,24 @@ def lsh_topk(
                 for b in range(bands)
             ]
         )
-        return out.select(f"{prefix}_id", f"{prefix}_vec", F.explode(band_arr).alias("bucket"))
+        return out.select(f"{prefix}_id", F.explode(band_arr).alias("bucket"))
 
     qb = with_bands(queries, "query")
-    cb = with_bands(embeddings, "neighbor")
-    cand = (
+    cb = guard_hot_keys(with_bands(embeddings, "neighbor"), ["bucket"], max_bucket)
+    pair_ids = (
         cb.join(qb, "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    c_vecs = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_vec")
+    )
+    cand = (
+        pair_ids.join(q_vecs, "query_id")
+        .join(c_vecs, "neighbor_id")
         .withColumn("cos_sim", cosine(F.col("query_vec"), F.col("neighbor_vec")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
@@ -344,14 +362,7 @@ def cosine_near_duplicates(
             .where(F.col("_sig").isNotNull())
             .select("_id", F.explode(band_arr).alias("bucket"))
         )
-        if max_bucket is not None:
-            buckets = (
-                buckets.withColumn(
-                    "_bc", F.count(F.lit(1)).over(Window.partitionBy("bucket"))
-                )
-                .where(F.col("_bc") <= max_bucket)
-                .drop("_bc")
-            )
+        buckets = guard_hot_keys(buckets, ["bucket"], max_bucket)
         # per-bucket sorted id array → i<j pair explosion: the signature
         # pipeline (a Pandas-UDF matmul per row) runs exactly ONCE — a
         # bucket self-join would recompute it for both sides (AQE does

@@ -212,37 +212,9 @@ def q_blocking_pairs(spark, sf_dir):
     )
 
 
-SQL_BLOCKING_PAIRS = """
-WITH base AS (
-  SELECT 'C' || CAST(o_custkey AS VARCHAR) AS part,
-         'C' || CAST(o_custkey AS VARCHAR) || '-O' || CAST(o_orderkey AS VARCHAR) AS doc_id,
-         CAST(o_orderkey AS VARCHAR) AS invnum_norm,
-         'PO-' || CAST(o_custkey AS VARCHAR) || '-' || CAST(o_orderkey % 7 AS VARCHAR) AS po,
-         o_totalprice AS total,
-         CAST(o_orderdate AS DATE) AS dt,
-         'M' || CAST(o_orderkey % 499 AS VARCHAR) AS media_key
-  FROM orders
-), keys AS (
-  SELECT part, doc_id,
-         'T|' || CAST(round(total, 2) AS VARCHAR) || '|' || strftime(date_trunc('month', dt), '%Y-%m') AS bkey,
-         4 AS pri
-  FROM base WHERE total IS NOT NULL AND dt IS NOT NULL
-  UNION ALL
-  SELECT part, doc_id, 'P|' || po, 3 FROM base WHERE po IS NOT NULL AND po <> ''
-  UNION ALL
-  SELECT part, doc_id, 'N|' || invnum_norm, 1 FROM base WHERE invnum_norm IS NOT NULL
-  UNION ALL
-  SELECT part, doc_id, 'M|' || media_key, 2 FROM base WHERE media_key IS NOT NULL
-), pairs AS (
-  SELECT a.part, a.doc_id AS a_doc_id, b.doc_id AS b_doc_id, min(a.pri) AS block_priority
-  FROM keys a JOIN keys b ON a.part = b.part AND a.bkey = b.bkey AND a.doc_id <> b.doc_id
-  GROUP BY 1, 2, 3
-), capped AS (
-  SELECT *, row_number() OVER (PARTITION BY a_doc_id ORDER BY block_priority, b_doc_id) AS rn
-  FROM pairs
-)
-SELECT part, a_doc_id, b_doc_id, block_priority FROM capped WHERE rn <= 200
-"""
+# composed from the SHARED blocking CTE chain (one copy of the blocking
+# semantics; SQL_RULES_SAME_PO_NEAR_TOTAL builds on the same chain)
+SQL_BLOCKING_PAIRS = None  # assigned below _BLOCKING_CTES
 
 
 def q_referential_antijoin(spark, sf_dir):
@@ -568,6 +540,13 @@ WITH base AS (
   FROM pairs
 )
 """
+
+SQL_BLOCKING_PAIRS = (
+    _BLOCKING_CTES
+    + """
+SELECT part, a_doc_id, b_doc_id, block_priority FROM capped WHERE rn <= 200
+"""
+)
 
 SQL_RULES_SAME_PO_NEAR_TOTAL = (
     _BLOCKING_CTES
@@ -1057,6 +1036,16 @@ def q_simhash_verified(spark, sf_dir):
     from ..operators import dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # the +1000000 shift is hard-coded in the static oracle SQL too; an id
+    # collision (base id >= offset) would merge distinct docs with a
+    # NONDETERMINISTIC signature pick — fail loudly instead
+    max_id = d.agg(F.max("doc_id")).first()[0] or 0
+    if max_id >= 1000000:
+        raise ValueError(
+            f"q_simhash_verified id-shift offset 1000000 collides with "
+            f"max doc_id {max_id}; raise the offset in BOTH the query and "
+            f"SQL_SIMHASH_VERIFIED"
+        )
     corpus = d.unionByName(d.select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
     cand = dedup.simhash_near_duplicates(corpus, max_hamming=3, max_bucket=None)
     grams = corpus.select(
@@ -1175,11 +1164,17 @@ WITH e AS (
          sum((p - 0.1) * ln(greatest(p, {floor!r}) / 0.1)) AS psi_present,
          count(*) AS nbins
   FROM props GROUP BY 1
+), cur_parts AS (
+  SELECT DISTINCT part FROM e WHERE doc_id % 2 = 0 AND total IS NOT NULL
 )
-SELECT part,
+-- left join from current parts: a partition with NO baseline (novel)
+-- emits psi NULL + fail TRUE, mirroring drift.psi exactly
+SELECT cp.part,
        round(psi_present + (10 - nbins) * {missing_term!r}, 6) AS psi_r,
-       (psi_present + (10 - nbins) * {missing_term!r}) > {PSI_ALERT!r} AS psi_fail
-FROM present
+       CASE WHEN psi_present IS NULL THEN TRUE
+            ELSE (psi_present + (10 - nbins) * {missing_term!r}) > {PSI_ALERT!r}
+       END AS psi_fail
+FROM cur_parts cp LEFT JOIN present USING (part)
 """
 
 
@@ -1266,7 +1261,13 @@ WITH e AS (
   FROM e GROUP BY 1
 )
 SELECT cum.part,
-       max(abs(CAST(cc AS DOUBLE) / n_c - CAST(cb AS DOUBLE) / n_b)) AS ks_stat,
+       -- empty-side guard mirrors Spark's ks_2samp exactly: either
+       -- sample empty => NaN (DuckDB's /0 yields NULL under non-IEEE
+       -- float settings, which would hash-mismatch Spark's NaN)
+       CASE WHEN any_value(n_c) = 0 OR any_value(n_b) = 0
+            THEN CAST('nan' AS DOUBLE)
+            ELSE max(abs(CAST(cc AS DOUBLE) / n_c - CAST(cb AS DOUBLE) / n_b))
+       END AS ks_stat,
        any_value(n_c) AS n_current,
        any_value(n_b) AS n_baseline
 FROM cum JOIN n USING (part)

@@ -124,3 +124,30 @@ def test_minhash_unguarded_matches_guarded_without_hot_buckets(spark):
     b = {(r["a_id"], r["b_id"], r["n_shared_bands"]) for r in guarded.collect()}
     assert a == b and a
     assert all(x != y for x, y, _ in a)
+
+
+def test_lsh_config_validation():
+    """Config contracts fail loudly: bands must divide num_hashes (silent
+    signature truncation changes the advertised recall), and a SimHash
+    radius past 31 has no covering 64-divisor band count."""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands must divide num_hashes"):
+        dedup.minhash_lsh_pairs(None, num_hashes=16, bands=5)
+    with _pytest.raises(ValueError, match="max_hamming <= 31"):
+        dedup.simhash_near_duplicates(None, max_hamming=40)
+
+
+def test_null_text_docs_never_pair(spark):
+    """Null-text docs carry no similarity evidence: the pair generators
+    exclude them (two all-null signatures would otherwise score
+    Jaccard 1.0 / Hamming 0 and corrupt clusters)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "alpha beta gamma delta epsilon"),
+         (4, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    mh = dedup.minhash_lsh_pairs(docs, max_bucket=None).collect()
+    assert {(r["a_id"], r["b_id"]) for r in mh} == {(3, 4)}
+    sh = dedup.simhash_near_duplicates(docs, max_hamming=3, max_bucket=None).collect()
+    assert {(r["a_id"], r["b_id"]) for r in sh} == {(3, 4)}

@@ -290,3 +290,20 @@ def test_heuristic_labels_null_evidence_is_negative(spark):
     got = [r["label"] for r in df.select(train.heuristic_labels().alias("label")).collect()]
     assert got == [0, 1, 1, 0]
     assert all(v is not None for v in got)
+
+
+def test_psi_flags_novel_partition(spark):
+    """A partition present in current but absent from the baseline is the
+    strongest drift signal — it must be EMITTED (psi null, fail true),
+    not silently dropped by the baseline join."""
+    base_docs = spark.createDataFrame(
+        [("P0", float(v)) for v in range(1, 101)], "part string, total double"
+    )
+    baseline = profile.profile(base_docs, "total")
+    current = base_docs.union(
+        spark.createDataFrame([("NEW", 5.0), ("NEW", 7.0)], "part string, total double")
+    )
+    out = {r["part"]: r.asDict() for r in drift.psi(current, baseline, "total").collect()}
+    assert set(out) == {"P0", "NEW"}
+    assert out["NEW"]["psi"] is None and out["NEW"]["psi_fail"] is True
+    assert out["P0"]["psi_fail"] is False
