@@ -273,23 +273,34 @@ def materialize_inputs(spark, sf_dir: str) -> tuple[str, str, float]:
     return docs_path, reg_path, time.time() - t0
 
 
-def materialize_scaling_inputs(spark, sf_dir: str, replicas: int) -> str:
-    """Replicated (block-key-disjoint, ×replicas) documents table for the
-    N→4N measurement: per-run fixed latency (stage barriers, AQE rounds,
-    broadcast choreography — ~5 s warm) must be amortized the way a real
-    long-running corpus amortizes it, or the measurement reads as Amdahl
-    overhead, not engine scaling."""
+def materialize_scaling_inputs(spark, sf_dir: str, replicas: int) -> tuple[str, str]:
+    """Replicated (block-key-disjoint, ×replicas) documents table + its
+    MATCHING registry for the N→4N measurement: per-run fixed latency
+    (stage barriers, AQE rounds, broadcast choreography — ~5 s warm) must
+    be amortized the way a real long-running corpus amortizes it, or the
+    measurement reads as Amdahl overhead, not engine scaling. The
+    registry is replicated too (replica media keys M{k}Q{r}) so the
+    corpus keeps the BASE dangling-violation rate — against the base
+    registry ~100% of replica refs dangled, inflating violation writes
+    ~19× over a genuinely larger corpus."""
     from invoice_anomaly_detection_sieve_spark.datagen import (
         docs_from_tpch,
+        registry_from_tpch,
         replicate_documents,
+        replicate_registry,
     )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     path = os.path.join(WORK_DIR, f"{tag}-x{replicas}", "documents.parquet")
+    reg_path = os.path.join(WORK_DIR, f"{tag}-x{replicas}", "registry.parquet")
     if not os.path.isdir(path):
         docs = replicate_documents(docs_from_tpch(spark, sf_dir), replicas)
         docs.repartition(64).write.mode("overwrite").parquet(path)
-    return path
+    if not os.path.isdir(reg_path):
+        replicate_registry(registry_from_tpch(spark), replicas).write.mode(
+            "overwrite"
+        ).parquet(reg_path)
+    return path, reg_path
 
 
 # ------------------------------------------------------------------ workloads
@@ -848,6 +859,12 @@ def main():
     scale_docs_path = os.path.join(
         WORK_DIR, f"{tag}-x{SCALE_REPLICAS}", "documents.parquet"
     )
+    # the scaling corpus has its OWN registry (replica media keys
+    # registered) so it keeps the base violation rate — see
+    # materialize_scaling_inputs
+    scale_reg_path = os.path.join(
+        WORK_DIR, f"{tag}-x{SCALE_REPLICAS}", "registry.parquet"
+    )
 
     r = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--phase", "head"],
@@ -875,7 +892,7 @@ def main():
         # tens of minutes — back-to-back resampling rides out nothing.
         print("[bench] scaling 1->4 (taskset-pinned fresh subprocesses)",
               file=sys.stderr, flush=True)
-        lv4 = run_level(4 * SCALE_N, scale_docs_path, reg_path, REPEATS,
+        lv4 = run_level(4 * SCALE_N, scale_docs_path, scale_reg_path, REPEATS,
                         max_repeats=3, budget=500, probe_best=probe_best, warmup_docs=base_docs_path)
 
         # the N level is the expensive side; its samples are intrinsically
@@ -883,7 +900,7 @@ def main():
         # self-contention), so two samples suffice and the budget floor
         # only needs to clear the first sample's completion (~570 s worst
         # observed incl. warmup)
-        lv1 = run_level(SCALE_N, scale_docs_path, reg_path, REPEATS,
+        lv1 = run_level(SCALE_N, scale_docs_path, scale_reg_path, REPEATS,
                         max_repeats=3, budget=min(1100.0, max(_remaining() - 1000, 620.0)),
                         probe_best=probe_best, warmup_docs=base_docs_path)
         # Efficiency-aware revisits: ambient memory-bandwidth pressure from
@@ -912,14 +929,14 @@ def main():
                 if eff < 0.8:
                     print(f"[bench] 4N revisit {visits} (eff {eff})",
                           file=sys.stderr, flush=True)
-                    nxt = run_level(4 * SCALE_N, scale_docs_path, reg_path, 2,
+                    nxt = run_level(4 * SCALE_N, scale_docs_path, scale_reg_path, 2,
                                     max_repeats=3, budget=260, probe_best=probe_best, warmup_docs=base_docs_path)
                     if not nxt.get("error"):
                         lv4 = merge_levels(lv4, nxt)
                 elif eff > 1.05:
                     print(f"[bench] N revisit {visits} (implausible eff {eff})",
                           file=sys.stderr, flush=True)
-                    nxt = run_level(SCALE_N, scale_docs_path, reg_path, 2,
+                    nxt = run_level(SCALE_N, scale_docs_path, scale_reg_path, 2,
                                     max_repeats=2, budget=620, probe_best=probe_best, warmup_docs=base_docs_path)
                     if not nxt.get("error"):
                         lv1 = merge_levels(lv1, nxt)
@@ -942,10 +959,10 @@ def main():
             # budget must survive one steal-abort (~60 s) plus a full
             # unwatched sample (~65-230 s observed) — 150 s expired before
             # the level could record anything in the round-4 first run
-            lv32 = run_level(32, scale_docs_path, reg_path, 2,
+            lv32 = run_level(32, scale_docs_path, scale_reg_path, 2,
                              max_repeats=3, budget=280, probe_best=probe_best,
                              warmup_docs=base_docs_path, max_aborts=1)
-            lv8 = run_level(8, scale_docs_path, reg_path, 2,
+            lv8 = run_level(8, scale_docs_path, scale_reg_path, 2,
                             max_repeats=3, budget=250, probe_best=probe_best, warmup_docs=base_docs_path)
             if lv8.get("error") or lv32.get("error"):
                 results["scaling_8_32"] = {"error": lv8.get("error") or lv32.get("error"),
@@ -988,12 +1005,12 @@ def main():
                   f"err32={err32} eff={blk.get('efficiency')})",
                   file=sys.stderr, flush=True)
             if err8:
-                lv8 = run_level(8, scale_docs_path, reg_path, 2,
+                lv8 = run_level(8, scale_docs_path, scale_reg_path, 2,
                                 max_repeats=2, budget=250,
                                 probe_best=probe_best,
                                 warmup_docs=base_docs_path)
             if err32 or noisy:
-                nxt = run_level(32, scale_docs_path, reg_path, 2,
+                nxt = run_level(32, scale_docs_path, scale_reg_path, 2,
                                 max_repeats=2, budget=260,
                                 probe_best=probe_best,
                                 warmup_docs=base_docs_path, max_aborts=1)

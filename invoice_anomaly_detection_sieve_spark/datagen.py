@@ -360,6 +360,29 @@ def replicate_documents(documents: DataFrame, times: int) -> DataFrame:
     )
 
 
+def replicate_registry(registry: DataFrame, times: int) -> DataFrame:
+    """Registry matching a ``replicate_documents(×times)`` corpus: replica
+    docs reference media keys ``M{k}Q{r}``, so every registered base key
+    registers its replica keys too. Without this the replica corpus runs
+    against base keys only and ~100% of replica refs dangle — multiplying
+    the violation write volume ~19× over a genuinely larger corpus and
+    distorting what the scaling measurement measures."""
+    if times <= 1:
+        return registry
+    rep = registry.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(times - 1))).alias("_r")
+    )
+    return rep.select(
+        F.when(F.col("_r") == 0, F.col("media_key"))
+        .otherwise(
+            F.concat(F.col("media_key"), F.lit("Q"), F.col("_r").cast("string"))
+        )
+        .alias("media_key"),
+        "first_seen",
+        "last_seen",
+    )
+
+
 def registry_from_tpch(spark: SparkSession, media_pool: int = 499, dangling_mod: int = 19) -> DataFrame:
     """Media registry for the TPC-H adapter: keys M0..M{pool-1} except
     every ``dangling_mod``-th (those stay unregistered ⇒ referential

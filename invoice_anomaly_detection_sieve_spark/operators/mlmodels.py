@@ -97,23 +97,25 @@ def fit_forests(
     (NULL for groups under 8 rows), ``psi`` the per-tree subsample size.
 
     The pool is the ``pool_factor × sample`` rows with smallest
-    ``(xxhash64(id), id)``. To avoid a full per-group sort at 10^12 rows,
-    a per-group count (broadcast, O(groups)) sets a hash stride that
-    pre-filters to ~2× the pool before the top-k window runs.
+    ``(xxhash64(id, features...), id)``. The ``row_number() <= pool``
+    filter is rewritten by Catalyst's WindowGroupLimit (Spark 3.5+) into
+    a per-map-task partial top-k, so the exchange carries O(tasks × pool)
+    rows per group, never a full per-group sort — the previous
+    count-broadcast + hash-stride pre-filter duplicated that bound and
+    could silently ELIMINATE a large group whose id column had few
+    distinct values (no id ≡ 0 mod stride ⇒ no model, every row scoring
+    a default 0.5). Hashing the feature values alongside the id keeps
+    the rank deterministic yet row-distinct under duplicate ids.
     """
     feat_list = list(features)
     pool = pool_factor * sample
-    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_gn"))
-    h = F.xxhash64(F.col(id_col))
-    stride = F.greatest(F.lit(1).cast("long"), (F.col("_gn") / (2 * pool)).cast("long"))
-    cand = (
-        docs.select(group_col, id_col, *feat_list)
-        .join(F.broadcast(counts), group_col)
-        .where(F.pmod(h, stride) == 0)
-        .drop("_gn")
-    )
+    h = F.xxhash64(F.col(id_col), *[F.col(f) for f in feat_list])
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
-    pooled = cand.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") <= pool)
+    pooled = (
+        docs.select(group_col, id_col, *feat_list)
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= pool)
+    )
 
     schema = f"{group_col} string, model string, psi long"
 
@@ -169,22 +171,25 @@ def isolation_scores(
     your driver is sized for more; each model blob is ~10-40 KB.
     """
     feat_list = list(features)
-    # fail-fast probe, not a census: limit(max_groups + 1) lets the scan
-    # stop as soon as the guard's question is answered, instead of a full
-    # extra pass over the upstream plan when cardinality is huge
-    n_groups = docs.select(group_col).distinct().limit(max_groups + 1).count()
+    # the guard rides the fit itself: fit_forests emits exactly one row
+    # per group, so counting its (persisted) output enforces the
+    # driver-memory bound with ZERO extra passes over docs — a separate
+    # distinct() census re-evaluated the whole upstream plan
+    models_df = fit_forests(docs, features, group_col, id_col, n_trees, sample).persist()
+    n_groups = models_df.count()
     if n_groups > max_groups:
+        models_df.unpersist()
         raise ValueError(
             f"isolation_scores fits one model per '{group_col}' group and "
-            f"broadcasts them all: >{max_groups} groups exceeds max_groups="
+            f"broadcasts them all: {n_groups} groups exceeds max_groups="
             f"{max_groups} (~{max_groups * 20 // 1024} MB of driver memory). "
             f"Score per-group slices separately or raise max_groups if the "
             f"driver is sized for it."
         )
-    models_df = fit_forests(docs, features, group_col, id_col, n_trees, sample)
     models = {
         r[group_col]: (r["model"], int(r["psi"])) for r in models_df.collect()
     }
+    models_df.unpersist()
     bc = docs.sparkSession.sparkContext.broadcast(models)
     schema = f"{group_col} string, {id_col} string, iso_score double, iso_flag boolean"
 

@@ -151,3 +151,21 @@ def test_null_text_docs_never_pair(spark):
     assert {(r["a_id"], r["b_id"]) for r in mh} == {(3, 4)}
     sh = dedup.simhash_near_duplicates(docs, max_hamming=3, max_bucket=None).collect()
     assert {(r["a_id"], r["b_id"]) for r in sh} == {(3, 4)}
+
+
+def test_replicated_registry_preserves_violation_rate(spark):
+    """The scaling corpus's registry must register replica media keys:
+    against the base registry every replica ref dangles, inflating the
+    violation write volume the scaling measurement measures."""
+    from invoice_anomaly_detection_sieve_spark.datagen import (
+        docs_from_tpch, registry_from_tpch, replicate_documents, replicate_registry)
+    from invoice_anomaly_detection_sieve_spark.documents import extract_docs
+    from invoice_anomaly_detection_sieve_spark.operators.registry import dangling_refs
+
+    base = docs_from_tpch(spark, "/root/testdata/sf0.001")
+    reg = registry_from_tpch(spark)
+    x3, reg3 = replicate_documents(base, 3), replicate_registry(reg, 3)
+    eb, e3 = extract_docs(base), extract_docs(x3)
+    base_rate = dangling_refs(eb, reg).count() / eb.count()
+    new_rate = dangling_refs(e3, reg3).count() / e3.count()
+    assert abs(new_rate - base_rate) < 1e-9

@@ -20,6 +20,10 @@ TABLES = [
 
 
 def normalize_cell(v):
+    # deliberately mirrors the DRIVER's comparator (round to 9 decimals,
+    # repr) — do not "improve" the tolerance here: diverging from the
+    # gate would make local green meaningless. Queries must avoid -0.0
+    # and >1e-9 accumulation noise instead (alias/round in BOTH engines).
     import datetime
     import math
 
@@ -47,6 +51,13 @@ def main():
 
     from invoice_anomaly_detection_sieve_spark.plans.queries import ORACLES, QUERIES
     from invoice_anomaly_detection_sieve_spark.session import get_spark
+
+    # a misspelled query name would match nothing, check nothing, and
+    # exit 0 ("0 failures") — a false green from the correctness gate
+    unknown = only - set(QUERIES)
+    if unknown:
+        print(f"UNKNOWN query names: {sorted(unknown)}; known: {sorted(QUERIES)}")
+        sys.exit(2)
 
     spark = get_spark("oracle-check", cores=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
