@@ -320,7 +320,7 @@ def validate_once(spark, docs_path: str, reg_path: str) -> tuple[float, int]:
     return sec, n
 
 
-def bench_queries(spark, sf_dir: str, docs_path: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, docs_path: str) -> tuple[dict, dict]:
     from invoice_anomaly_detection_sieve_spark.documents import extract_docs
     from invoice_anomaly_detection_sieve_spark.operators import (
         blocking,
@@ -361,15 +361,23 @@ def bench_queries(spark, sf_dir: str, docs_path: str) -> dict[str, float]:
     # the second measures steady state. Single-shot times were the round-2
     # record's phantom "regressions" and round-4's 12.6 s dedup outlier —
     # whether the retry fired depended on ambient steal, a lottery.
+    # The recorded steal fraction follows the BEST run, so every per-query
+    # time on the record carries the noise level of the window it was
+    # actually measured in (VERDICT r4 "what's wrong" #4).
     for name, act in actions.items():
-        t0 = time.time()
+        st0, t0 = steal_seconds(cores_set), time.time()
         act()
-        out[name] = round(min(out[name], time.time() - t0), 3)
+        el = time.time() - t0
+        if el < out[name]:
+            out[name] = round(el, 3)
+            steal_of[name] = (steal_seconds(cores_set) - st0) / max(
+                el * len(cores_set), 1e-9)
         if steal_of.get(name, 0.0) > 0.02:
-            print(f"[bench] query {name} first run stolen; best-of-2 {out[name]}s",
+            print(f"[bench] query {name} best run saw steal "
+                  f"{steal_of[name]:.1%}; best-of-2 {out[name]}s",
                   file=sys.stderr, flush=True)
     docs.unpersist()
-    return out
+    return out, {k: round(v, 4) for k, v in steal_of.items()}
 
 
 def fresh_session(cores: int, shuffle_partitions: int | None = None, pin_cpus: bool = False):
@@ -706,7 +714,7 @@ def _kernel_probe_worker(payload: tuple) -> float:
         K._JW_CACHE.clear()
         t0 = time.perf_counter()
         P._pair_kernel_fn(a_inv, b_inv,
-                          sdescs, sq, su, sa, sdescs, sq, su, sa)
+                          sdescs, sq, su, sa, sdescs, sq, su)
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2] / n_pairs * 1e6
@@ -750,7 +758,7 @@ def run_head_child() -> None:
         materialize_scaling_inputs(spark, SF_DIR, SCALE_REPLICAS)
     out: dict = {"datagen_sec": round(gen_sec, 3)}
 
-    qtimes = bench_queries(spark, SF_DIR, docs_path)
+    qtimes, qsteals = bench_queries(spark, SF_DIR, docs_path)
 
     # headline throughput: warm best-of-N at full width on the base corpus
     print(f"[bench] headline validate cores={CPUS} ...", file=sys.stderr, flush=True)
@@ -800,7 +808,9 @@ def run_head_child() -> None:
     out["headline_steal_fracs"] = steals
     out["headline_bw_med_ms"] = [round(b * 1e3, 1) for b in bw_meds]
     qtimes["validate_full"] = round(sec_full, 3)
+    qsteals["validate_full"] = steals[full_times.index(sec_full)]
     out["queries"] = qtimes
+    out["query_steal_fracs"] = qsteals
     out["docs"] = n_docs
     out["docs_per_sec"] = round(n_docs / sec_full, 1)
     spark.stop()
@@ -1087,7 +1097,69 @@ def main():
     results["value"] = results["docs_per_sec"]
     results["unit"] = "docs/sec"
     results["bench_total_sec"] = round(sum(results.get("queries", {}).values()), 3)
-    print(json.dumps(results))
+    emit_results(results)
+
+
+def _compact_scaling(blk) -> dict:
+    """Scaling block for the final stdout line: drop the raw sample /
+    steal / bandwidth arrays (they live in the BENCH/ detail file), keep
+    everything the gate is judged on — efficiency, per-level throughput,
+    the clean-sample lists (they are ≤ a few floats), pin_verified —
+    plus sample counts and worst-steal so noise is still classifiable."""
+    if not isinstance(blk, dict):
+        return blk
+    keep = ("cores_n", "cores_4n", "scale_docs", "sec_n", "sec_4n",
+            "clean_samples_n", "clean_samples_4n", "pin_verified",
+            "docs_per_sec_n", "docs_per_sec_4n", "efficiency",
+            "error", "skipped")
+    out = {k: blk[k] for k in keep if k in blk}
+    for side in ("n", "4n"):
+        samples = blk.get(f"samples_{side}")
+        if samples is not None:
+            out[f"n_samples_{side}"] = len(samples)
+        steals = blk.get(f"steal_fracs_{side}")
+        if steals:
+            out[f"max_steal_{side}"] = max(steals)
+    return out
+
+
+def emit_results(results: dict) -> None:
+    """Write the FULL result dict (every sample array) to BENCH/ and print
+    a compact summary as the final stdout line. The driver records only a
+    2000-char stdout tail: round 4's full-detail final line outgrew it and
+    the official record lost its headline (`BENCH_r04.json parsed: null`).
+    The compact line is guaranteed to fit by construction and by a
+    hard-trim fallback."""
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    try:
+        os.makedirs(bench_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        detail = f"BENCH_detail_{stamp}.json"
+        with open(os.path.join(bench_dir, detail), "w") as f:
+            json.dump(results, f, indent=1)
+        with open(os.path.join(bench_dir, "BENCH_detail_latest.json"), "w") as f:
+            json.dump(results, f, indent=1)
+        results_detail = f"BENCH/{detail}"
+    except Exception as e:
+        results_detail = f"unwritten: {e}"[:120]
+
+    compact = {k: v for k, v in results.items() if k in (
+        "sf", "cpus", "datagen_sec", "queries", "query_steal_fracs",
+        "docs", "docs_per_sec", "kernel_scaling",
+        "metric", "value", "unit", "bench_total_sec", "error",
+    )}
+    for key in ("scaling_1_4", "scaling_8_32"):
+        if key in results:
+            compact[key] = _compact_scaling(results[key])
+    compact["detail"] = results_detail
+    line = json.dumps(compact)
+    # hard backstop: shed the least-essential blocks until the line fits
+    for drop in ("query_steal_fracs", "kernel_scaling", "queries"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":
