@@ -95,18 +95,39 @@ def header_features(a: str, b: str) -> dict[str, Column]:
     return feats
 
 
-def dup_probability(feature_cols: dict[str, Column] | None = None) -> Column:
+def dup_probability(
+    feature_cols: dict[str, Column] | None = None,
+    weights: dict[str, float] | None = None,
+    bias: float | None = None,
+) -> Column:
     """Sigmoid of the broadcast-weight dot product (app/duplicate_model.py:54-57).
 
     ``feature_cols`` maps FEATURE_ORDER names to Columns; missing features
     default to 0.0 like the reference's ``features.get(name, 0.0)``.
+
+    ``weights``/``bias`` plug a TRAINED model in (plans/train.py
+    ``train_duplicate_model`` output); omitted they fall back to the
+    reference's heuristic coefficients, mirroring ``load_model``'s
+    trained-artifact-else-fallback behavior (app/duplicate_model.py:60-72).
+    The coefficients are plan literals — Catalyst constant-folds the dot
+    product, so a trained model costs the same as the fallback at runtime.
     """
+    if weights is None:
+        weights = FALLBACK_WEIGHTS
+        if bias is None:
+            bias = FALLBACK_BIAS
+    else:
+        unknown = set(weights) - set(FEATURE_ORDER)
+        if unknown:
+            raise ValueError(f"unknown model features: {sorted(unknown)}")
+        if bias is None:
+            raise ValueError("trained weights require an explicit bias")
     feature_cols = feature_cols or {name: F.col(name) for name in FEATURE_ORDER}
-    logit = F.lit(FALLBACK_BIAS)
+    logit = F.lit(float(bias))
     for name in FEATURE_ORDER:
         col = feature_cols.get(name)
-        if col is not None:
-            logit = logit + F.lit(FALLBACK_WEIGHTS[name]) * _nz(col)
+        if col is not None and name in weights:
+            logit = logit + F.lit(float(weights[name])) * _nz(col)
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
     return F.greatest(F.lit(0.0), F.least(F.lit(1.0), prob))
 

@@ -168,11 +168,16 @@ def _prefixed(docs: DataFrame, prefix: str, line_arrays=None) -> DataFrame:
     return docs.select(*sel)
 
 
-def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def score_pairs(docs: DataFrame, pairs: DataFrame, model: dict | None = None) -> DataFrame:
     """Join pair ids back to payloads and compute all features + dup_prob.
 
     Output: part, a_doc_id, b_doc_id, every FEATURE_ORDER column, rule
     flags, dup_prob.
+
+    ``model`` is a trained-weights dict as produced by
+    plans/train.py:train_duplicate_model ({"weights": {...}, "bias": b});
+    None scores with the reference's fallback coefficients
+    (app/duplicate_model.py:60-72 load-trained-else-fallback).
     """
     a = _prefixed(docs, "a_")
     # the kernel never reads the b side's per-line amounts (the unmatched
@@ -227,7 +232,13 @@ def score_pairs(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         F.col("b_pdf_hash"),
     ).select("*", "_pk.*").drop("_pk")
 
-    scored = j.withColumn("dup_prob", S.dup_probability())
+    scored = j.withColumn(
+        "dup_prob",
+        S.dup_probability(
+            weights=(model or {}).get("weights"),
+            bias=(model or {}).get("bias"),
+        ),
+    )
 
     # deterministic rules evaluated per pair; applied from the top-1 row only
     scored = scored.withColumn(

@@ -260,23 +260,34 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--warehouse", required=True, help="catalog root for outputs")
     p.add_argument("--run-id", default=None)
     p.add_argument("--cores", default=None)
+    p.add_argument("--dup-model", default=None, metavar="PATH",
+                   help="trained duplicate-model JSON artifact "
+                        "(plans/train.py save_duplicate_model); absent or "
+                        "missing file scores with the fallback weights, "
+                        "like the reference's DUP_MODEL_PATH")
     args = p.parse_args(argv)
 
     spark = get_spark("sieve-validate", cores=args.cores)
     catalog = ParquetCatalog(spark, args.warehouse)
     registry = spark.read.parquet(args.registry)
+    config = None
+    if args.dup_model:
+        from .train import load_duplicate_model
+
+        config = V.ValidationConfig(dup_model=load_duplicate_model(args.dup_model))
     if args.incremental:
         if not args.documents_table:
             p.error("--incremental requires --documents-table")
         metrics = run_incremental(
             spark, catalog, args.documents_table, registry, run_id=args.run_id,
-            since_snapshot=args.since_snapshot,
+            since_snapshot=args.since_snapshot, config=config,
         )
     else:
         if not args.documents:
             p.error("--documents is required without --incremental")
         documents = spark.read.parquet(args.documents)
-        metrics = run(spark, documents, registry, catalog, run_id=args.run_id)
+        metrics = run(spark, documents, registry, catalog, run_id=args.run_id,
+                      config=config)
     print(metrics)
 
 

@@ -140,6 +140,49 @@ def train_duplicate_model(
     }
 
 
+def save_duplicate_model(model: dict, path: str) -> None:
+    """Persist a trained duplicate model as a JSON artifact.
+
+    The artifact is 13 floats + metadata — driver-side JSON (on shared
+    storage in a cluster deployment) is the right scale, mirroring the
+    reference's single joblib file (app/duplicate_model.py:12,
+    DUP_MODEL_PATH). Weight names are validated against FEATURE_ORDER so a
+    stale artifact from a different feature schema fails at save/load, not
+    by silently scoring wrong.
+    """
+    import json
+    import os
+
+    unknown = set(model.get("weights", {})) - set(FEATURE_ORDER)
+    if unknown or "bias" not in model:
+        raise ValueError(f"not a duplicate-model artifact (unknown={sorted(unknown)})")
+    d = os.path.dirname(os.path.abspath(path))
+    if d:
+        os.makedirs(d, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(model, f, indent=1, sort_keys=True)
+
+
+def load_duplicate_model(path: str | None) -> dict | None:
+    """Load a trained model artifact, falling back to the heuristic
+    coefficients when absent — the reference's load_model contract
+    (app/duplicate_model.py:60-72: artifact if it exists, fallback
+    otherwise). Returns None for the fallback so callers can pass it
+    straight into ValidationConfig.dup_model / score_pairs(model=...),
+    which treat None as "use FALLBACK_WEIGHTS"."""
+    import json
+    import os
+
+    if not path or not os.path.exists(path):
+        return None
+    with open(path) as f:
+        model = json.load(f)
+    unknown = set(model.get("weights", {})) - set(FEATURE_ORDER)
+    if unknown or "bias" not in model:
+        raise ValueError(f"corrupt duplicate-model artifact at {path}")
+    return model
+
+
 def _auc(y: np.ndarray, score: np.ndarray) -> float:
     """ROC-AUC via the rank statistic (ties get midranks)."""
     order = np.argsort(score, kind="mergesort")

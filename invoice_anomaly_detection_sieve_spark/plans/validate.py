@@ -35,6 +35,11 @@ class ValidationConfig:
     dq_as_of: str | None = None  # pin "today" for deterministic DQ date checks
     enable_dq: bool = True
     enable_benford: bool = True
+    # trained duplicate model ({"weights": {...}, "bias": b}, the
+    # plans/train.py:train_duplicate_model output / load_duplicate_model
+    # artifact); None scores with the reference's fallback coefficients
+    # (app/duplicate_model.py:60-72)
+    dup_model: dict | None = None
     # derived in __post_init__: the audit ledger's constraints_evaluated
     # must list what actually RAN, not the full menu (a run with
     # enable_dq=False claiming row_dq misleads anyone auditing coverage)
@@ -106,7 +111,7 @@ def doc_verdicts_from_docs(
 
     # duplicate sieve: blocking join -> pair features -> per-doc rollup
     pair_ids = blocking.candidate_pairs(docs, cap=cfg.candidate_cap, max_key_fanout=cfg.max_key_fanout)
-    scored = pairs.score_pairs(docs, pair_ids)
+    scored = pairs.score_pairs(docs, pair_ids, model=cfg.dup_model)
     dup = pairs.doc_duplicate_signals(scored, k=cfg.top_k)
 
     # anomaly path: registry flag + baseline z + history discount

@@ -238,3 +238,49 @@ def test_bucketed_merge_migrates_mismatched_layout(spark, tmp_path):
     rows = {r["k"]: r["v"] for r in cat.read_bucketed("t").collect()}
     assert rows == {"a": 2, "b": 3, "c": 4, "d": 1, "e": 2}
     assert cat.table_meta("t")["bucket_spec"]["buckets"] == 4
+
+
+def test_route_cases_bucketed_rewrites_only_touched_buckets(spark, tmp_path):
+    """The cases table is O(all-history); a nightly run must cost
+    O(touched buckets) — untouched buckets' files stay byte-identical and
+    created_at is preserved through the bucket-pruned read."""
+    import os
+
+    catalog = ParquetCatalog(spark, str(tmp_path / "wh"))
+    v1 = _verdicts(spark, [("P1", f"d{i}", "HOLD", 90.0) for i in range(40)])
+    C.route_cases(catalog, v1, "2025-01-01 00:00:00", buckets=8)
+
+    data = os.path.join(str(tmp_path / "wh"), C.CASES_TABLE, "data")
+
+    def bucket_state():
+        out = {}
+        for b in os.listdir(data):
+            if b.startswith("_bucket="):
+                d = os.path.join(data, b)
+                out[b] = {(f, os.path.getmtime(os.path.join(d, f)))
+                          for f in os.listdir(d) if f.endswith(".parquet")}
+        return out
+
+    before = bucket_state()
+    assert len(before) > 1  # corpus actually spans buckets
+
+    v2 = _verdicts(spark, [("P1", "d1", "REVIEW", 60.0), ("P1", "dX", "HOLD", 99.0)])
+    touched = {r[0] for r in spark.createDataFrame(
+        [("d1",), ("dX",)], "doc_id string"
+    ).select(ParquetCatalog._bucket_col(["doc_id"], 8).alias("b")).distinct().collect()}
+    C.route_cases(catalog, v2, "2025-02-01 00:00:00", buckets=8)
+
+    after = bucket_state()
+    untouched = [b for b in before if int(b.split("=")[1]) not in touched]
+    assert untouched, "test corpus must leave some buckets untouched"
+    for b in untouched:
+        assert before[b] == after[b], f"untouched bucket {b} was rewritten"
+
+    rows = {r["doc_id"]: r.asDict()
+            for r in catalog.read_bucketed(C.CASES_TABLE).collect()}
+    assert len(rows) == 41
+    assert str(rows["d1"]["created_at"]).startswith("2025-01-01")  # preserved
+    assert str(rows["d1"]["updated_at"]).startswith("2025-02-01")
+    assert rows["d1"]["decision"] == "REVIEW"
+    assert str(rows["dX"]["created_at"]).startswith("2025-02-01")
+    assert str(rows["d5"]["updated_at"]).startswith("2025-01-01")  # untouched row

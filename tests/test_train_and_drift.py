@@ -307,3 +307,61 @@ def test_psi_flags_novel_partition(spark):
     assert set(out) == {"P0", "NEW"}
     assert out["NEW"]["psi"] is None and out["NEW"]["psi_fail"] is True
     assert out["P0"]["psi_fail"] is False
+
+
+def test_trained_weights_reach_the_scoring_pipeline(spark, docs, tmp_path):
+    """M4 end-to-end: train -> save artifact -> load -> validate with the
+    trained model, and the scores actually change vs the fallback
+    (reference contract: app/duplicate_model.py:60-80 uses the trained
+    artifact whenever one exists, fallback otherwise)."""
+    from invoice_anomaly_detection_sieve_spark.operators import blocking, pairs
+    from invoice_anomaly_detection_sieve_spark.plans import validate as V
+
+    model = train.train_duplicate_model(docs, cap=50)
+    path = str(tmp_path / "dup_model.json")
+    train.save_duplicate_model(model, path)
+    loaded = train.load_duplicate_model(path)
+    assert loaded["weights"] == model["weights"]
+    assert loaded["bias"] == model["bias"]
+    # missing artifact -> None -> fallback weights (load_model contract)
+    assert train.load_duplicate_model(str(tmp_path / "absent.json")) is None
+
+    pair_ids = blocking.candidate_pairs(docs, cap=50).cache()
+    key = ["a_doc_id", "b_doc_id"]
+    fallback = {tuple(r[k] for k in key): r["dup_prob"]
+                for r in pairs.score_pairs(docs, pair_ids).select(*key, "dup_prob").collect()}
+    trained = {tuple(r[k] for k in key): r["dup_prob"]
+               for r in pairs.score_pairs(docs, pair_ids, model=loaded)
+               .select(*key, "dup_prob").collect()}
+    pair_ids.unpersist()
+    assert set(fallback) == set(trained)
+    diffs = [k for k in fallback if abs(fallback[k] - trained[k]) > 1e-9]
+    assert len(diffs) > len(fallback) * 0.5  # trained model genuinely differs
+    # both are probabilities
+    assert all(0.0 <= v <= 1.0 for v in trained.values())
+
+    # the config plumbing: doc_verdicts_from_docs scores with cfg.dup_model
+    reg = docs.sparkSession.createDataFrame(
+        [], "media_key string, first_seen timestamp, last_seen timestamp")
+    cfg_fb = V.ValidationConfig(enable_dq=False, enable_benford=False)
+    cfg_tr = V.ValidationConfig(enable_dq=False, enable_benford=False,
+                                dup_model=loaded)
+    v_fb = {r["doc_id"]: r["dup_prob"]
+            for r in V.doc_verdicts_from_docs(docs, reg, config=cfg_fb)
+            .select("doc_id", "dup_prob").collect()}
+    v_tr = {r["doc_id"]: r["dup_prob"]
+            for r in V.doc_verdicts_from_docs(docs, reg, config=cfg_tr)
+            .select("doc_id", "dup_prob").collect()}
+    assert set(v_fb) == set(v_tr)
+    assert any(abs(v_fb[k] - v_tr[k]) > 1e-9 for k in v_fb)
+
+
+def test_dup_probability_rejects_unknown_features():
+    import pytest as _pytest
+
+    from invoice_anomaly_detection_sieve_spark.functions import scoring as S
+
+    with _pytest.raises(ValueError, match="unknown model features"):
+        S.dup_probability(weights={"not_a_feature": 1.0}, bias=0.0)
+    with _pytest.raises(ValueError, match="explicit bias"):
+        S.dup_probability(weights={"text_cosine": 1.0})
