@@ -33,7 +33,14 @@ _EXCHANGE_NODES = (
     "Aggregate", "Join", "Window", "RepartitionByExpression",
     "Sort", "Deduplicate", "GlobalLimit",
 )
-_SHUFFLE_REPARTITION = re.compile(r"Repartition \d+, true")
+# node names are matched ANCHORED at the start of a plan line (after the
+# tree-drawing prefix), not by raw substring: a user column named e.g.
+# "SortKey" appearing inside a Project's expression list must not read as
+# an exchange and silently disable the rebalance
+_EXCHANGE_LINE = re.compile(
+    r"^[+:\-\s'*]*(?:" + "|".join(_EXCHANGE_NODES) + r")\b", re.MULTILINE
+)
+_SHUFFLE_REPARTITION = re.compile(r"^[+:\-\s'*]*Repartition \d+, true", re.MULTILINE)
 
 
 def guard_hot_keys(df: DataFrame, keys: list[str], max_count: int | None) -> DataFrame:
@@ -67,8 +74,12 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
-        plan = ""
-    if any(node in plan for node in _EXCHANGE_NODES) or _SHUFFLE_REPARTITION.search(plan):
+        # fail CLOSED: without the plan text we cannot prove the plan is
+        # scan-shaped, and probing df.rdd below a shuffle EXECUTES the
+        # upstream stages under AQE — the exact hazard this check avoids.
+        # Skipping the rebalance is only ever a perf miss, never wrong.
+        return df
+    if _EXCHANGE_LINE.search(plan) or _SHUFFLE_REPARTITION.search(plan):
         return df
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -28,6 +28,27 @@ DEFAULT_SHINGLE = 5
 DEFAULT_MINHASHES = 16
 DEFAULT_BANDS = 4  # 16 hashes / 4 bands -> rows-per-band 4
 
+# Ceiling for the UNGUARDED (max_bucket=None) exact-recall paths: a
+# degenerate bucket holds its full id array in ONE aggregation buffer and
+# emits O(K²) pairs from one task — fine on the oracle/verify corpora the
+# unguarded mode exists for, an OOM at corpus scale. Past this many ids in
+# a single bucket (~tens of MB of buffer, ~10¹² exploded pairs) the task
+# fails LOUDLY with the remedy instead of dying in the explode.
+UNGUARDED_BUCKET_CEIL = 1_000_000
+
+
+def _ceil_unguarded(arr, op: str):
+    return F.when(
+        F.size(arr) > UNGUARDED_BUCKET_CEIL,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: a bucket holds "), F.size(arr).cast("string"),
+                F.lit(f" ids (> unguarded ceiling {UNGUARDED_BUCKET_CEIL}); "
+                      "set max_bucket to bound degenerate buckets"),
+            )
+        ),
+    ).otherwise(arr)
+
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup via content hash: every doc annotated with its group
@@ -183,6 +204,8 @@ def minhash_lsh_pairs(
     # emit (only reachable via a cross-band hash collision — signatures
     # are one row per id — but the comparison is free)
     grouped = buckets.groupBy("bucket").agg(F.array_sort(F.collect_list("_id")).alias("_ids"))
+    if max_bucket is None:
+        grouped = grouped.withColumn("_ids", _ceil_unguarded(F.col("_ids"), "minhash_lsh_pairs"))
     exploded = grouped.select(F.posexplode("_ids").alias("_i", "a_id"), F.col("_ids"))
     return (
         exploded.select(
@@ -384,6 +407,10 @@ def simhash_near_duplicates(
     grouped = bucketed.groupBy("_bucket").agg(
         F.array_sort(F.collect_list(F.struct("_id", "_sig"))).alias("_rows")
     )
+    if max_bucket is None:
+        grouped = grouped.withColumn(
+            "_rows", _ceil_unguarded(F.col("_rows"), "simhash_near_duplicates")
+        )
     exploded = grouped.select(F.posexplode("_rows").alias("_i", "_a"), F.col("_rows"))
     return (
         exploded.select(

@@ -312,15 +312,38 @@ class ParquetCatalog:
         ``until`` pins the upper bound: snapshots newer than it are left
         for the next run. Without it, an append committed between a
         caller's ``latest_snapshot_id()`` and this scan would be consumed
-        now but recorded under the older id — and re-validated next run."""
+        now but recorded under the older id — and re-validated next run.
+
+        An incremental range is only well-defined over APPEND snapshots
+        (Iceberg's incremental scan has the same restriction): a rewrite
+        (overwrite/merge) in the range both introduces rows no append
+        carries and swaps+GCs the data files earlier appends reference.
+        Crossing one falls back to the FULL state as of the upper bound —
+        rows are re-validated rather than silently skipped."""
+        snaps = self.snapshots(name)
+        in_range = [
+            s for s in snaps
+            if s["id"] > snapshot_id and (until is None or s["id"] <= until)
+        ]
+        if any(s["op"] != "append" for s in in_range):
+            bound = until if until is not None else max(s["id"] for s in in_range)
+            return self.read_as_of(name, bound)
+        if in_range and until is not None and any(
+            s["op"] != "append" and s["id"] > until for s in snaps
+        ):
+            # a rewrite AFTER the pinned bound swapped + GC'd the data
+            # files these in-range appends reference: the requested slice
+            # of history no longer exists on disk. Fail with the remedy
+            # instead of a PATH_NOT_FOUND mid-scan.
+            raise ValueError(
+                f"table '{name}': snapshots ({snapshot_id}, {until}] predate a "
+                "later rewrite and their files were garbage-collected; "
+                "re-read from the current state (read_as_of the latest "
+                "snapshot) instead of an incremental range"
+            )
         newer: list[str] = []
-        for snap in self.snapshots(name):
-            if (
-                snap["id"] > snapshot_id
-                and (until is None or snap["id"] <= until)
-                and snap["op"] == "append"
-            ):
-                newer.extend(snap["files"])
+        for snap in in_range:
+            newer.extend(snap["files"])
         if not newer:
             return self.read(name).limit(0)
         paths = [os.path.join(self._data_dir(name), f) for f in newer]

@@ -217,3 +217,31 @@ def test_overwrite_gc_keeps_one_backup_generation(spark, tmp_path):
     assert len(old_dirs) <= 1
     got = {r["k"] for r in cat.read("t").collect()}
     assert got == {"a", "b", "c", "d"}
+
+
+def test_read_since_across_rewrite_falls_back_to_full_replay(spark, tmp_path):
+    """An incremental range is only well-defined over append snapshots: a
+    merge/overwrite inside (since, until] introduces rows no append carries
+    and GCs files earlier appends reference. Crossing one must replay the
+    full as-of-until state, never skip rows or read deleted files."""
+    import pytest as _pytest
+
+    cat = ParquetCatalog(spark, str(tmp_path / "rw"))
+    s1 = cat.append("t", spark.createDataFrame([("a", 1)], "k string, v int"))
+    s2 = cat.append("t", spark.createDataFrame([("b", 2)], "k string, v int"))
+    # append-only range: just the increment (pre-rewrite behavior intact)
+    assert {r["k"] for r in cat.read_since("t", s1, until=s2).collect()} == {"b"}
+
+    # rewrite: update b, insert m (merge = overwrite op in the snapshot log)
+    cat.merge_upsert("t", spark.createDataFrame([("b", 20), ("m", 9)],
+                                                "k string, v int"), ["k"])
+    s4 = cat.append("t", spark.createDataFrame([("c", 3)], "k string, v int"))
+
+    got = {r["k"]: r["v"] for r in cat.read_since("t", s1, until=s4).collect()}
+    # full replay as of s4: the merged rows are visible, nothing references
+    # the pre-merge files the swap GC'd
+    assert got == {"a": 1, "b": 20, "m": 9, "c": 3}
+    # an append-only range the later rewrite GC'd: loud error naming the
+    # remedy, never a PATH_NOT_FOUND mid-scan (and never silent [] rows)
+    with _pytest.raises(ValueError, match="garbage-collected"):
+        cat.read_since("t", s1, until=s2)
