@@ -4,16 +4,31 @@ Candidate pairs from the blocking join are scored with:
 - header features — pure column arithmetic (reference app/features.py:20-40
   runs these per-row in Python; here they're codegen'd),
 - ``invnum_edit`` — Jaro-Winkler distance, the one header feature SQL can't
-  express → Arrow-vectorized scalar pandas UDF over the kernel,
+  express → Arrow-vectorized pair kernel,
 - line-assignment features — Hungarian matching per pair
-  (app/features.py:47-101) → scalar pandas UDF returning a struct; cost
-  matrices stay inside the worker, bounded by the 200-line cap,
+  (app/features.py:47-101) inside the same kernel; cost matrices stay
+  inside the worker, bounded by the 200-line cap,
 - ``text_cosine`` — Dice on distinct char-3-gram sets of the desc blobs
   (app/main.py:290-296), computed inside the same kernel (cheaper than a
   JVM higher-order-function formulation, whose interpreted lambdas
   re-evaluate the blob per gram),
 - duplicate probability — broadcast logistic weights as a column sigmoid
   (app/duplicate_model.py:51-80).
+
+The kernel crossing has TWO physical strategies (``payload_mode``), both
+bit-identical in output (pinned by tests + the driver oracle):
+
+- ``per_pair`` (default): each pair row carries both docs' payloads through
+  the join and the Arrow crossing. One exchange fewer; on a single shared
+  socket (local[N]) its best-case latency wins — measured clean best at
+  sf0.1 / 32 cores: 9.7 s vs 15.7 s for dict mode (BENCH/BASELINE.md).
+- ``dict``: doc payloads cross Arrow once per (partition, doc) as
+  dictionary rows, pair rows cross as bare ids, and the scalar header
+  joins run JVM-side below the kernel. ~cap(=200)× less payload traffic
+  through the exchange and the Arrow boundary — the mode for the
+  network-shuffle regime (multi-node, 100 TB), and measurably more robust
+  under bandwidth contention (same A/B, contended windows: 62/28 s vs
+  83/39 s per-pair).
 
 Then the reference's top-k (app/main.py:305-307) and deterministic rules on
 the top-1 candidate only (app/main.py:314-321) as window + column exprs.
@@ -57,13 +72,15 @@ PAIR_LINE_ARRAYS = {
     "line_amts": lambda l: l["amount"],
 }
 
-# b-side per-line arrays actually consumed by the kernel (no amounts)
+# b-side per-line arrays actually consumed by the kernel (no amounts: the
+# unmatched fraction is over the A side's amounts, app/features.py:54-65)
 _B_LINE_ARRAYS = {k: v for k, v in PAIR_LINE_ARRAYS.items() if k != "line_amts"}
 
-PAIR_KERNEL_TYPE = (
-    "invnum_edit double, text_cosine double, line_coverage_pct double, "
-    "unmatched_amount_frac double, count_new_items double, median_unit_price_diff double"
+PAIR_KERNEL_FEATURES = (
+    "invnum_edit", "text_cosine", "line_coverage_pct",
+    "unmatched_amount_frac", "count_new_items", "median_unit_price_diff",
 )
+PAIR_KERNEL_TYPE = ", ".join(f"{c} double" for c in PAIR_KERNEL_FEATURES)
 
 
 def _pair_kernel_fn(
@@ -155,20 +172,168 @@ def pair_kernel(*cols):
     return _UDF_CACHE[key](*cols)
 
 
+def _kernel_stream_fn(iterator):
+    """mapInPandas body of the dict-mode pair kernel: a per-partition
+    PAYLOAD DICTIONARY followed by bare pair ids.
+
+    The partition's rows arrive dictionary-first (sortWithinPartitions on
+    _is_dict): dictionary rows carry each referenced doc's invnum + line
+    arrays exactly ONCE per (partition, doc); pair rows carry only ids.
+    State is a plain dict that lives for the partition; batches stream
+    through bounded by maxRecordsPerBatch. Dict memory is O(distinct docs
+    referenced by the partition) — scale partitions (defaultParallelism)
+    with the corpus, as any shuffle-sized deployment already does.
+    """
+    payloads: dict = {}
+    for pdf in iterator:
+        mask = pdf["_is_dict"].to_numpy()
+        if mask.any():
+            d = pdf.loc[mask]
+            for did, inv, de, q, u, am in zip(
+                d["_dict_id"].tolist(), d["_invnum"].tolist(),
+                d["_line_descs"].tolist(), d["_line_qtys"].tolist(),
+                d["_line_ups"].tolist(), d["_line_amts"].tolist(),
+            ):
+                payloads[did] = (inv, de, q, u, am)
+        p = pdf.loc[~mask]
+        if not len(p):
+            continue
+        a_pl = [payloads[i] for i in p["a_doc_id"].tolist()]
+        b_pl = [payloads[i] for i in p["b_doc_id"].tolist()]
+        feats = _pair_kernel_fn(
+            pd.Series([x[0] for x in a_pl]), pd.Series([x[0] for x in b_pl]),
+            pd.Series([x[1] for x in a_pl]), pd.Series([x[2] for x in a_pl]),
+            pd.Series([x[3] for x in a_pl]), pd.Series([x[4] for x in a_pl]),
+            pd.Series([x[1] for x in b_pl]), pd.Series([x[2] for x in b_pl]),
+            pd.Series([x[3] for x in b_pl]),
+        )
+        out = p[["part", "a_doc_id", "b_doc_id", "block_priority"]].reset_index(drop=True)
+        # the union with (all-null) dictionary rows can surface this int
+        # column as float64 in batches that carried nulls — pin the dtype
+        out["block_priority"] = out["block_priority"].astype("int32")
+        yield pd.concat([out, feats], axis=1)
+
+
 def _prefixed(docs: DataFrame, prefix: str, line_arrays=None) -> DataFrame:
     """Pair payload projection: scalar header columns plus the per-line
-    flat arrays. The transforms run once per DOC row (the projection sits
-    below the pair join's exchange), not once per pair."""
+    flat arrays (pass ``line_arrays={}`` for headers only). The transforms
+    run once per DOC row (the projection sits below the pair join's
+    exchange), not once per pair."""
     sel = [F.col(c).alias(prefix + c) for c in PAIR_PAYLOAD_COLS]
+    if line_arrays is None:
+        line_arrays = PAIR_LINE_ARRAYS
     lines = F.col("lines")
     sel += [
         F.transform(lines, fn).alias(prefix + name)
-        for name, fn in (line_arrays or PAIR_LINE_ARRAYS).items()
+        for name, fn in line_arrays.items()
     ]
     return docs.select(*sel)
 
 
-def score_pairs(docs: DataFrame, pairs: DataFrame, model: dict | None = None) -> DataFrame:
+def _features_per_pair(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """per_pair mode: payloads ride the pair join; ONE scalar-pandas-UDF
+    Arrow crossing evaluates the kernel over fully-materialized pair rows.
+
+    Plan constraints (scale- and CPU-driven; BENCH/BASELINE.md):
+    - the capped pair ids are byte-tiny (a few MB at sf0.1), so AQE's
+      byte-based coalescing folds everything downstream of their exchange —
+      the payload joins AND the Arrow pair kernel, the most CPU-expensive
+      per-row stage of the pipeline — onto a handful of tasks (observed:
+      6 tasks × ~36 s on 32 cores). An explicit numPartitions repartition
+      is exempt from AQE coalescing, so it pins the kernel's parallelism
+      at the session's width.
+    - the pairs side is O(docs·cap): auto-broadcasting it (it sits under
+      the raised 64 MB threshold at test scale) collects the whole
+      blocking pipeline through the driver, and evaluates it once per
+      broadcast — the same O(N)-broadcast ban as the dup rollup join in
+      plans/validate.py. shuffle_hash keys both payload joins on doc_id:
+      bounded exchanges, no driver involvement.
+    """
+    a = _prefixed(docs, "a_")
+    b = _prefixed(docs, "b_", _B_LINE_ARRAYS)
+    n_part = pairs.sparkSession.sparkContext.defaultParallelism
+    pairs = pairs.repartition(n_part, "a_doc_id")
+    j = (
+        pairs.join(a.hint("shuffle_hash"), pairs["a_doc_id"] == a["a_doc_id"])
+        .drop(a["a_doc_id"])
+        .join(b.hint("shuffle_hash"), pairs["b_doc_id"] == b["b_doc_id"])
+        .drop(b["b_doc_id"])
+    )
+    return j.select(
+        "part",
+        "a_doc_id",
+        "b_doc_id",
+        "block_priority",
+        pair_kernel(
+            F.col("a_invnum_norm"), F.col("b_invnum_norm"),
+            *[F.col("a_" + name) for name in PAIR_LINE_ARRAYS],
+            *[F.col("b_" + name) for name in _B_LINE_ARRAYS],
+        ).alias("_pk"),
+        *[F.col("a_" + c) for c in PAIR_PAYLOAD_COLS if c != "doc_id"],
+        *[F.col("b_" + c) for c in PAIR_PAYLOAD_COLS if c != "doc_id"],
+    ).select("*", "_pk.*").drop("_pk")
+
+
+def _features_dict(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """dict mode: payloads cross Arrow once per (partition, doc) as
+    dictionary rows ahead of bare pair-id rows; scalar header joins run
+    JVM-side below the kernel. ~cap× less exchange + Arrow traffic — the
+    network-shuffle-regime strategy (see module docstring for the measured
+    local[32] tradeoff)."""
+    n_part = pairs.sparkSession.sparkContext.defaultParallelism
+    pid = F.pmod(F.xxhash64("a_doc_id"), F.lit(n_part)).cast("int")
+    pairs = pairs.withColumn("_pid", pid)
+    dict_ids = (
+        pairs.select("_pid", F.col("a_doc_id").alias("_dict_id"))
+        .unionAll(pairs.select("_pid", F.col("b_doc_id").alias("_dict_id")))
+        .distinct()
+    )
+    payload = docs.select(
+        F.col("doc_id").alias("_dict_id"),
+        F.col("invnum_norm").alias("_invnum"),
+        *[
+            F.transform(F.col("lines"), fn).alias("_" + name)
+            for name, fn in PAIR_LINE_ARRAYS.items()
+        ],
+    )
+    # shuffle_hash: the dictionary is O(docs) per side — same
+    # no-O(N)-broadcast rule as every other doc-keyed join here
+    dict_rows = dict_ids.join(payload.hint("shuffle_hash"), "_dict_id").withColumn(
+        "_is_dict", F.lit(True)
+    )
+    pair_rows = pairs.select(
+        "_pid", "part", "a_doc_id", "b_doc_id", "block_priority"
+    ).withColumn("_is_dict", F.lit(False))
+    stream = (
+        dict_rows.unionByName(pair_rows, allowMissingColumns=True)
+        .repartition(n_part, "_pid")
+        .sortWithinPartitions(F.desc("_is_dict"))
+    )
+    kernel_out = stream.mapInPandas(
+        _kernel_stream_fn,
+        schema=(
+            "part string, a_doc_id string, b_doc_id string, "
+            "block_priority int, " + PAIR_KERNEL_TYPE
+        ),
+    )
+    # scalar header joins (JVM-side, below the kernel); shuffle_hash for
+    # the same O(N)-broadcast ban as above
+    a = _prefixed(docs, "a_", {})
+    b = _prefixed(docs, "b_", {})
+    return (
+        kernel_out.join(a.hint("shuffle_hash"), kernel_out["a_doc_id"] == a["a_doc_id"])
+        .drop(a["a_doc_id"])
+        .join(b.hint("shuffle_hash"), kernel_out["b_doc_id"] == b["b_doc_id"])
+        .drop(b["b_doc_id"])
+    )
+
+
+def score_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    model: dict | None = None,
+    payload_mode: str = "per_pair",
+) -> DataFrame:
     """Join pair ids back to payloads and compute all features + dup_prob.
 
     Output: part, a_doc_id, b_doc_id, every FEATURE_ORDER column, rule
@@ -178,36 +343,17 @@ def score_pairs(docs: DataFrame, pairs: DataFrame, model: dict | None = None) ->
     plans/train.py:train_duplicate_model ({"weights": {...}, "bias": b});
     None scores with the reference's fallback coefficients
     (app/duplicate_model.py:60-72 load-trained-else-fallback).
+
+    ``payload_mode`` picks the kernel-crossing strategy — "per_pair"
+    (default; fastest single-socket latency) or "dict" (once-per-doc
+    payload traffic for the network-shuffle regime). Identical output.
     """
-    a = _prefixed(docs, "a_")
-    # the kernel never reads the b side's per-line amounts (the unmatched
-    # fraction is over the A side's amounts, app/features.py:54-65), so
-    # they are dropped from the payload: every pair ships its payload
-    # ~200x, and an unread array<double> is pure shuffle + Arrow traffic
-    b = _prefixed(docs, "b_", _B_LINE_ARRAYS)
-    # Two plan constraints, both scale- and CPU-driven (see the round-4
-    # stage profile in BENCH/BASELINE.md):
-    # - the capped pair ids are byte-tiny (a few MB at sf0.1), so AQE's
-    #   byte-based coalescing folds everything downstream of their
-    #   exchange — the payload joins AND the Arrow pair kernel, the most
-    #   CPU-expensive per-row stage of the pipeline — onto a handful of
-    #   tasks (observed: 6 tasks × ~36 s on 32 cores). An explicit
-    #   numPartitions repartition is exempt from AQE coalescing, so it
-    #   pins the kernel's parallelism at the session's width.
-    # - the pairs side is O(docs·cap): auto-broadcasting it (it sits
-    #   under the raised 64 MB threshold at test scale) collects the
-    #   whole blocking pipeline through the driver, and evaluates it
-    #   once per broadcast — the same O(N)-broadcast ban as the dup
-    #   rollup join in plans/validate.py. shuffle_hash keys both payload
-    #   joins on doc_id: bounded exchanges, no driver involvement.
-    n_part = pairs.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(n_part, "a_doc_id")
-    j = (
-        pairs.join(a.hint("shuffle_hash"), pairs["a_doc_id"] == a["a_doc_id"])
-        .drop(a["a_doc_id"])
-        .join(b.hint("shuffle_hash"), pairs["b_doc_id"] == b["b_doc_id"])
-        .drop(b["b_doc_id"])
-    )
+    if payload_mode == "per_pair":
+        j = _features_per_pair(docs, pairs)
+    elif payload_mode == "dict":
+        j = _features_dict(docs, pairs)
+    else:
+        raise ValueError(f"unknown payload_mode {payload_mode!r}")
 
     feats = S.header_features("a_", "b_")
     j = j.select(
@@ -216,11 +362,7 @@ def score_pairs(docs: DataFrame, pairs: DataFrame, model: dict | None = None) ->
         "b_doc_id",
         "block_priority",
         *[expr.alias(name) for name, expr in feats.items()],
-        pair_kernel(
-            F.col("a_invnum_norm"), F.col("b_invnum_norm"),
-            *[F.col("a_" + name) for name in PAIR_LINE_ARRAYS],
-            *[F.col("b_" + name) for name in _B_LINE_ARRAYS],
-        ).alias("_pk"),
+        *[F.col(c) for c in PAIR_KERNEL_FEATURES],
         # carried through for rule evaluation on the top-1 row
         F.col("a_invnum_norm"),
         F.col("b_invnum_norm"),
@@ -230,7 +372,7 @@ def score_pairs(docs: DataFrame, pairs: DataFrame, model: dict | None = None) ->
         F.col("b_total"),
         F.col("a_pdf_hash"),
         F.col("b_pdf_hash"),
-    ).select("*", "_pk.*").drop("_pk")
+    )
 
     scored = j.withColumn(
         "dup_prob",

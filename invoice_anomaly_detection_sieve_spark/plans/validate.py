@@ -40,6 +40,12 @@ class ValidationConfig:
     # artifact); None scores with the reference's fallback coefficients
     # (app/duplicate_model.py:60-72)
     dup_model: dict | None = None
+    # pair-kernel crossing strategy (operators/pairs.py score_pairs):
+    # "per_pair" = payloads ride the pair join (fastest single-socket
+    # latency); "dict" = once-per-(partition, doc) payload dictionary
+    # (~cap× less exchange/Arrow traffic — the network-shuffle regime).
+    # Bit-identical outputs, pinned by tests.
+    pair_payload_mode: str = "per_pair"
     # derived in __post_init__: the audit ledger's constraints_evaluated
     # must list what actually RAN, not the full menu (a run with
     # enable_dq=False claiming row_dq misleads anyone auditing coverage)
@@ -111,7 +117,9 @@ def doc_verdicts_from_docs(
 
     # duplicate sieve: blocking join -> pair features -> per-doc rollup
     pair_ids = blocking.candidate_pairs(docs, cap=cfg.candidate_cap, max_key_fanout=cfg.max_key_fanout)
-    scored = pairs.score_pairs(docs, pair_ids, model=cfg.dup_model)
+    scored = pairs.score_pairs(
+        docs, pair_ids, model=cfg.dup_model, payload_mode=cfg.pair_payload_mode
+    )
     dup = pairs.doc_duplicate_signals(scored, k=cfg.top_k)
 
     # anomaly path: registry flag + baseline z + history discount

@@ -116,3 +116,23 @@ def test_every_violation_doc_has_nonpass_or_reason(corpus):
         by_doc.setdefault(row["doc_id"], []).append(row["reason_code"])
     for doc, codes in by_doc.items():
         assert set(codes) == set(corpus["verdicts"][doc]["reason_codes"])
+
+
+def test_payload_modes_are_bit_identical(spark, corpus):
+    """score_pairs "dict" mode (once-per-doc payload dictionary through the
+    Arrow crossing) must produce BYTE-identical scored pairs to the default
+    per_pair mode — same rows, same feature values, same rule flags."""
+    from invoice_anomaly_detection_sieve_spark.operators import blocking, pairs
+
+    docs = extract_docs(corpus["documents"]).cache()
+    pair_ids = blocking.candidate_pairs(docs, cap=200, max_key_fanout=2000)
+    cols = None
+    out = {}
+    for mode in ("per_pair", "dict"):
+        scored = pairs.score_pairs(docs, pair_ids, payload_mode=mode)
+        cols = cols or sorted(scored.columns)
+        rows = scored.select(*cols).collect()
+        out[mode] = sorted(tuple(r) for r in rows)
+    assert out["per_pair"], "planted corpus must yield candidate pairs"
+    assert out["per_pair"] == out["dict"]
+    docs.unpersist()
