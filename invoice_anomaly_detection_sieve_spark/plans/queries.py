@@ -1442,6 +1442,47 @@ FROM f
 """
 
 
+def q_sim_lsh_recall(spark, sf_dir):
+    """Hyperplane-LSH ANN (operators/similarity.py ``lsh_topk``) pinned on
+    its DETERMINISTIC recall class: an identical vector has an identical
+    hyperplane signature, so every band collides and the planted twin
+    (id-shifted corpus copy) is GUARANTEED into the candidate set and —
+    at cosine 1.0, the maximum — into the top-k. The query emits the
+    (query, twin) pairs the LSH search actually recovered; the oracle
+    enumerates every planted twin, so one missing pair (a broken
+    signature, band split, bucket join, or ranking) is a hash failure.
+
+    max_bucket=None: the guarantee needs certain recall, so the hot-bucket
+    guard is explicitly disabled — oracle/test-path-only usage, same
+    declared exception as dedup_simhash_verified. The base side filters to
+    vec_id < the 1000000 shift in BOTH engines, so an id collision changes
+    both sides identically instead of silently merging docs."""
+    from ..operators import similarity as sim
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .where(F.col("vec_id") < 1000000)
+        # degenerate vectors (null / zero-norm) have no defined cosine and
+        # an all-zero sign pattern shared with every other zero vector —
+        # outside the guaranteed class; mirrored in the oracle SQL
+        .where(F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x) > 0)
+    )
+    twins = e.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    found = sim.lsh_topk(e, twins, k=5, max_bucket=None)
+    return found.where(
+        F.col("neighbor_id") == F.col("query_id") - 1000000
+    ).select("query_id", "neighbor_id")
+
+
+SQL_SIM_LSH_RECALL = """
+SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id
+FROM embeddings
+WHERE vec_id < 1000000
+  AND list_dot_product(embedding, embedding) > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1485,6 +1526,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_stratified": q_sample_stratified,
     "sample_fraction": q_sample_fraction,
     "txt_quality": q_text_quality,
+    "sim_lsh_recall": q_sim_lsh_recall,
 }
 
 ORACLES: dict[str, str] = {
@@ -1523,6 +1565,7 @@ ORACLES: dict[str, str] = {
     "sample_stratified": SQL_SAMPLE_STRATIFIED,
     "sample_fraction": SQL_SAMPLE_FRACTION,
     "txt_quality": _sql_text_quality(),
+    "sim_lsh_recall": SQL_SIM_LSH_RECALL,
     # dedup_minhash_lsh / dedup_simhash: rows-only (raw xxhash64-seeded
     # signatures are engine-specific); their VERIFIED outputs are
     # oracle-checked above (dedup_near_dups_verified /

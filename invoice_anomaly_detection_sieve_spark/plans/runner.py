@@ -265,16 +265,27 @@ def main(argv: list[str] | None = None) -> None:
                         "(plans/train.py save_duplicate_model); absent or "
                         "missing file scores with the fallback weights, "
                         "like the reference's DUP_MODEL_PATH")
+    p.add_argument("--drift-fields", default="total", metavar="F1,F2",
+                   help="comma-separated numeric doc fields to drift-check "
+                        "per partition; 'total' always runs (it drives "
+                        "risk fusion), extras surface FIELD_DRIFT_<FIELD> "
+                        "reason codes")
     args = p.parse_args(argv)
 
     spark = get_spark("sieve-validate", cores=args.cores)
     catalog = ParquetCatalog(spark, args.warehouse)
     registry = spark.read.parquet(args.registry)
-    config = None
+    cfg_kwargs = {}
     if args.dup_model:
         from .train import load_duplicate_model
 
-        config = V.ValidationConfig(dup_model=load_duplicate_model(args.dup_model))
+        cfg_kwargs["dup_model"] = load_duplicate_model(args.dup_model)
+    drift_fields = tuple(
+        f.strip() for f in args.drift_fields.split(",") if f.strip()
+    )
+    if drift_fields != ("total",):
+        cfg_kwargs["drift_fields"] = drift_fields
+    config = V.ValidationConfig(**cfg_kwargs) if cfg_kwargs else None
     if args.incremental:
         if not args.documents_table:
             p.error("--incremental requires --documents-table")

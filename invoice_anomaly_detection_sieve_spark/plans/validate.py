@@ -46,6 +46,14 @@ class ValidationConfig:
     # (~cap× less exchange/Arrow traffic — the network-shuffle regime).
     # Bit-identical outputs, pinned by tests.
     pair_payload_mode: str = "per_pair"
+    # numeric fields to drift-check per partition. "total" is always
+    # validated (it drives anom_prob / risk fusion, the reference's
+    # semantics); EXTRA fields get per-field baseline z-scores against
+    # stored multi-field baselines (train_baselines(fields=...)) or
+    # self-profiles, surfacing as FIELD_DRIFT_<FIELD> reason codes under
+    # the "drift" constraint. All extra fields pivot into ONE broadcast
+    # row per partition — no per-field join fan-out.
+    drift_fields: tuple[str, ...] = ("total",)
     # derived in __post_init__: the audit ledger's constraints_evaluated
     # must list what actually RAN, not the full menu (a run with
     # enable_dq=False claiming row_dq misleads anyone auditing coverage)
@@ -73,6 +81,58 @@ def doc_verdicts(
     """
     return doc_verdicts_from_docs(
         extract_docs(documents), media_registry, baseline_profiles, config
+    )
+
+
+def _extra_field_baselines(
+    docs: DataFrame,
+    baseline_profiles: DataFrame | None,
+    extra_fields: tuple[str, ...],
+) -> DataFrame:
+    """One broadcast row per partition carrying (mean, std, sample_count)
+    for every EXTRA drift field — pivoted from stored multi-field
+    baselines (train_baselines(fields=...)) or from self-profiles — so
+    multi-field validation costs ONE extra broadcast join total, not one
+    join per field.
+
+    A stored baseline missing a requested field fails loudly: amount_z
+    maps a NULL baseline to z=0, so the silent alternative reads as "no
+    drift" for a field that was never actually checked. (The existence
+    check collects one tiny distinct over the stored profile table —
+    O(parts × fields) rows by construction.)
+    """
+    if baseline_profiles is not None:
+        if "field" not in baseline_profiles.columns:
+            raise ValueError(
+                "stored baseline has no 'field' column; multi-field drift "
+                "needs train_baselines(fields=...) output"
+            )
+        src = baseline_profiles.where(F.col("field").isin(list(extra_fields)))
+        have = {r["field"] for r in src.select("field").distinct().collect()}
+        missing = set(extra_fields) - have
+        if missing:
+            raise ValueError(
+                f"stored baseline has no profile rows for drift fields "
+                f"{sorted(missing)}; run train_baselines(fields=...) including them"
+            )
+    else:
+        src = None
+        for f in extra_fields:
+            p = profile.profile(docs, f)
+            src = p if src is None else src.unionByName(p)
+    slim = src.select("part", "field", "mean", "std", F.col("sample_count").alias("n"))
+    wide = slim.groupBy("part").pivot("field", list(extra_fields)).agg(
+        F.first("mean").alias("mean"),
+        F.first("std").alias("std"),
+        F.first("n").alias("n"),
+    )
+    return wide.select(
+        "part",
+        *[
+            F.col(f"{f}_{s}").alias(f"_blf_{f}_{s}")
+            for f in extra_fields
+            for s in ("mean", "std", "n")
+        ],
     )
 
 
@@ -133,6 +193,33 @@ def doc_verdicts_from_docs(
         for c in ("dq_line_sum_mismatch", "dq_bad_currency", "dq_future_date"):
             flagged = flagged.withColumn(c, F.lit(False))
 
+    # extra drift fields: one pivoted broadcast row per part, then a
+    # per-field z against the same amount_z semantics as 'total'
+    extra_fields = tuple(f for f in cfg.drift_fields if f != "total")
+    if extra_fields:
+        # a self-profiling run may still have been HANDED a precomputed
+        # total-only profile frame (run_validation does, to share the
+        # one-shot profile); history_includes_self distinguishes "stored
+        # baseline" (read extras from it, loudly) from "self-profile the
+        # extras here"
+        wide = _extra_field_baselines(
+            docs,
+            baseline_profiles if not history_includes_self else None,
+            extra_fields,
+        )
+        flagged = flagged.join(F.broadcast(wide), "part", "left")
+        for f in extra_fields:
+            zf = S.amount_z(
+                F.col(f),
+                F.col(f"_blf_{f}_mean"),
+                F.col(f"_blf_{f}_std"),
+                F.col(f"_blf_{f}_n"),
+            )
+            flagged = flagged.withColumn(f"{f}_drift_z", zf).withColumn(
+                f"{f}_drift_outlier",
+                F.col(f"{f}_drift_z") >= drift.Z_OUTLIER_THRESHOLD,
+            )
+
     # NO broadcast for the dup rollup: it has one row per candidate doc, so
     # auto-broadcast (its size estimate sits under the threshold at test
     # scale) would collect the entire pair pipeline through the driver —
@@ -153,19 +240,22 @@ def doc_verdicts_from_docs(
     # canonical reason order = reference emission order (rules on top-1,
     # then BANK_CHANGE, then anomaly reasons; dedup preserves first
     # occurrence — app/rules.py:45-70, app/main.py:314-327)
-    reasons = F.filter(
-        F.array(
-            F.when(rule("rule_exact_invnum"), F.lit("EXACT_INVNUM")),
-            F.when(rule("rule_same_po_near_total"), F.lit("SAME_PO_NEAR_TOTAL")),
-            F.when(rule("rule_pdf_near_dup"), F.lit("PDF_NEAR_DUP")),
-            F.when(F.col("bank_change"), F.lit("BANK_CHANGE")),
-            F.when(F.col("amount_outlier"), F.lit("UNIT_PRICE_OUTLIER")),
-            F.when(rule("dq_line_sum_mismatch"), F.lit("LINE_SUM_MISMATCH")),
-            F.when(rule("dq_bad_currency"), F.lit("INVALID_CURRENCY")),
-            F.when(rule("dq_future_date"), F.lit("IMPLAUSIBLE_DATE")),
-        ),
-        lambda x: x.isNotNull(),
-    )
+    reason_entries = [
+        F.when(rule("rule_exact_invnum"), F.lit("EXACT_INVNUM")),
+        F.when(rule("rule_same_po_near_total"), F.lit("SAME_PO_NEAR_TOTAL")),
+        F.when(rule("rule_pdf_near_dup"), F.lit("PDF_NEAR_DUP")),
+        F.when(F.col("bank_change"), F.lit("BANK_CHANGE")),
+        F.when(F.col("amount_outlier"), F.lit("UNIT_PRICE_OUTLIER")),
+        F.when(rule("dq_line_sum_mismatch"), F.lit("LINE_SUM_MISMATCH")),
+        F.when(rule("dq_bad_currency"), F.lit("INVALID_CURRENCY")),
+        F.when(rule("dq_future_date"), F.lit("IMPLAUSIBLE_DATE")),
+    ] + [
+        # extension beyond the reference's reason set: per-field drift,
+        # emitted after the canonical codes so their order is unchanged
+        F.when(rule(f"{f}_drift_outlier"), F.lit(f"FIELD_DRIFT_{f.upper()}"))
+        for f in extra_fields
+    ]
+    reasons = F.filter(F.array(*reason_entries), lambda x: x.isNotNull())
 
     return joined.select(
         "part",
@@ -184,6 +274,11 @@ def doc_verdicts_from_docs(
         F.col("dq_future_date"),
         F.col("span_canon"),
         F.col("total"),
+        *[
+            c
+            for f in extra_fields
+            for c in (F.col(f"{f}_drift_z"), F.col(f"{f}_drift_outlier"))
+        ],
     )
 
 
@@ -213,7 +308,12 @@ def violations_from_verdicts(verdicts: DataFrame) -> DataFrame:
     )
     return exploded.select(
         "part",
-        F.element_at(constraint_of, F.col("reason_code")).alias("constraint_id"),
+        # FIELD_DRIFT_<FIELD> codes (ValidationConfig.drift_fields extras)
+        # are per-field, so they map by prefix rather than by entry
+        F.coalesce(
+            F.element_at(constraint_of, F.col("reason_code")),
+            F.when(F.col("reason_code").startswith("FIELD_DRIFT_"), F.lit("drift")),
+        ).alias("constraint_id"),
         "reason_code",
         "doc_id",
         F.map_filter(
@@ -292,11 +392,14 @@ def run_validation(
         baseline_profiles if baseline_profiles is not None else profile.profile(docs, "total")
     )
     # pin the validated field: multi-field stored baselines (one row per
-    # part × field) would fan out the profile joins and Benford stats
+    # part × field) would fan out the profile joins and Benford stats.
+    # doc_verdicts_from_docs receives the UNPINNED frame (it re-pins for
+    # the total path itself) so drift_fields extras can read their rows.
+    unpinned = profiles
     if "field" in profiles.columns:
         profiles = profiles.where(F.col("field") == "total")
     verdicts = doc_verdicts_from_docs(
-        docs, media_registry, profiles, cfg,
+        docs, media_registry, unpinned, cfg,
         history_includes_self=(baseline_profiles is None),
     )
     if cfg.enable_benford:

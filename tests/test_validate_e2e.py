@@ -136,3 +136,86 @@ def test_payload_modes_are_bit_identical(spark, corpus):
     assert out["per_pair"], "planted corpus must yield candidate pairs"
     assert out["per_pair"] == out["dict"]
     docs.unpersist()
+
+
+def test_multi_field_drift_self_profiled(spark):
+    """drift_fields extras (here tax_total) self-profile per part and flag
+    FIELD_DRIFT_<FIELD> exactly where the independently recomputed z
+    crosses the outlier threshold; codes map to the drift constraint."""
+    from invoice_anomaly_detection_sieve_spark.functions import scoring as S
+    from invoice_anomaly_detection_sieve_spark.operators import drift, profile as P
+
+    documents, media_registry, _ = synthesize_documents(spark, seed=42)
+    cfg = V.ValidationConfig(
+        dq_as_of="2024-04-01", drift_fields=("total", "tax_total")
+    )
+    out = V.run_validation(documents, media_registry, config=cfg)
+    rows = out["doc_verdicts"].collect()
+    assert rows
+    flagged = {r["doc_id"] for r in rows if "FIELD_DRIFT_TAX_TOTAL" in r["reason_codes"]}
+    outliers = {r["doc_id"] for r in rows if r["tax_total_drift_outlier"]}
+    assert flagged == outliers
+
+    # independent recomputation of the expected outlier set
+    docs = extract_docs(documents)
+    prof = {r["part"]: r for r in P.profile(docs, "tax_total").collect()}
+    expected = set()
+    for r in docs.select("part", "doc_id", "tax_total").collect():
+        p = prof[r["part"]]
+        x, mean, std, n = r["tax_total"], p["mean"], p["std"], p["sample_count"]
+        if mean is None:
+            continue
+        xv = x if x is not None else 0.0
+        if std and std > 0:
+            z = abs(xv - mean) / std
+        elif (n or 0) > 10:
+            z = abs(xv - mean) / max(abs(mean), 1.0)
+        else:
+            z = 0.0
+        if z >= drift.Z_OUTLIER_THRESHOLD:
+            expected.add(r["doc_id"])
+    assert outliers == expected
+    assert expected, "corpus must contain at least one tax_total outlier"
+
+    viol = [
+        r for r in out["violations"].collect()
+        if r["reason_code"] == "FIELD_DRIFT_TAX_TOTAL"
+    ]
+    assert {r["doc_id"] for r in viol} == expected
+    assert all(r["constraint_id"] == "drift" for r in viol)
+    out["extracted_docs"].unpersist()
+
+
+def test_multi_field_drift_stored_baseline(spark):
+    """A stored multi-field baseline drives the extra-field check: shifting
+    one part's tax_total baseline far away flags EVERY doc in that part,
+    and a baseline missing a requested field fails loudly."""
+    from invoice_anomaly_detection_sieve_spark.plans.train import train_baselines
+
+    documents, media_registry, _ = synthesize_documents(spark, seed=42)
+    docs = extract_docs(documents)
+    baselines = train_baselines(docs, fields=("total", "tax_total"))
+    part = docs.select("part").first()["part"]
+    shifted = baselines.withColumn(
+        "mean",
+        F.when(
+            (F.col("field") == "tax_total") & (F.col("part") == part), F.lit(1.0e9)
+        ).otherwise(F.col("mean")),
+    )
+    cfg = V.ValidationConfig(
+        dq_as_of="2024-04-01", drift_fields=("total", "tax_total")
+    )
+    out = V.run_validation(
+        documents, media_registry, baseline_profiles=shifted, config=cfg
+    )
+    rows = out["doc_verdicts"].collect()
+    part_docs = {r["doc_id"] for r in rows if r["part"] == part}
+    flagged = {r["doc_id"] for r in rows if "FIELD_DRIFT_TAX_TOTAL" in r["reason_codes"]}
+    assert part_docs and part_docs <= flagged
+    out["extracted_docs"].unpersist()
+
+    total_only = train_baselines(docs, fields=("total",))
+    with pytest.raises(ValueError, match="tax_total"):
+        V.run_validation(
+            documents, media_registry, baseline_profiles=total_only, config=cfg
+        )
