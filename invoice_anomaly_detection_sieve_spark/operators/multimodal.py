@@ -328,3 +328,163 @@ def synth_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
         }
         rows.append((f"MK-{i}", kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+# --------------------------------------------------------------------------
+# real-format synthesis + metadata probe (the oracle-checkable surface)
+
+def encode_bmp(w: int, h: int, pixel_fn) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP writer. ``pixel_fn(x, y)``
+    returns (r, g, b) for TOP-DOWN image coordinates — the exact inverse of
+    ``decode_bmp`` (which un-flips the bottom-up rows and BGR order), so
+    ``decode_bmp(encode_bmp(w, h, f))[y, x] == f(x, y)``."""
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixel_fn(x, y)
+            row += bytes([b & 255, g & 255, r & 255])
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    data = bytes(rows)
+    off = 54
+    hdr = b"BM" + (off + len(data)).to_bytes(4, "little") + b"\x00" * 4
+    hdr += off.to_bytes(4, "little") + (40).to_bytes(4, "little")
+    hdr += w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+    hdr += (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    hdr += (0).to_bytes(4, "little") + len(data).to_bytes(4, "little") + b"\x00" * 16
+    return hdr + data
+
+
+def encode_wav_pcm16(samples_i16: np.ndarray, rate: int) -> bytes:
+    """Minimal PCM-16 mono RIFF/WAVE writer (inverse of ``decode_wav`` up
+    to the int16 → [-1, 1] float scaling)."""
+    data = np.asarray(samples_i16, dtype="<i2").tobytes()
+    fmt = ((1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + int(rate).to_bytes(4, "little") + int(rate * 2).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little"))
+    body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def encode_y4m(frames_yuv, fps=(25, 1), chroma: str = "420") -> bytes:
+    """Minimal YUV4MPEG2 writer (inverse of ``decode_y4m``): frames_yuv is
+    a list of (Y, Cb, Cr) uint8 planes (Cb/Cr quarter-size for C420)."""
+    h, w = frames_yuv[0][0].shape
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{chroma}\n".encode()
+    )
+    for y, cb, cr in frames_yuv:
+        out += b"FRAME\n" + y.tobytes() + cb.tobytes() + cr.tobytes()
+    return bytes(out)
+
+
+MEDIA_PROBE_SCHEMA = (
+    "media_key string, kind string, width int, height int, n_samples bigint, "
+    "sample_rate int, n_frames int, fps double, decode_ok boolean"
+)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """Structural metadata probe over a media column (the inventory pass a
+    training pipeline runs before spending decode compute): real-decode
+    every row with the pure-numpy decoders and emit what the BYTES say —
+    (width, height) for images, (n_samples, sample_rate) for audio,
+    (n_frames, fps, width, height) for video — not what the meta column
+    claims. Arrow-batched ``mapInPandas``; per-row failure isolation
+    (``decode_ok=False``), stateless, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_key", "kind", "width", "height",
+                                   "n_samples", "sample_rate", "n_frames",
+                                   "fps", "decode_ok")}
+            for key, kind, payload in zip(pdf["media_key"], pdf["kind"], pdf["payload"]):
+                vals = dict.fromkeys(out)
+                vals["media_key"], vals["kind"] = key, kind
+                try:
+                    raw = bytes(payload) if payload is not None else None
+                    if kind == "image":
+                        img = decode_bmp(raw)
+                        vals["height"], vals["width"] = int(img.shape[0]), int(img.shape[1])
+                    elif kind == "audio":
+                        x, rate = decode_wav(raw)
+                        vals["n_samples"], vals["sample_rate"] = len(x), rate
+                    elif kind == "video":
+                        frames, fps = decode_y4m(raw)
+                        vals["n_frames"], vals["fps"] = len(frames), fps
+                        if frames:
+                            vals["height"], vals["width"] = (
+                                int(frames[0].shape[0]), int(frames[0].shape[1]))
+                    else:
+                        raise ValueError(f"unknown media kind {kind!r}")
+                    vals["decode_ok"] = True
+                except Exception:  # noqa: BLE001 — per-row decode failures must not kill the job
+                    vals["decode_ok"] = False
+                for k, v in vals.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, MEDIA_PROBE_SCHEMA)
+
+
+def synth_verification_media(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-format media corpus derived deterministically from an integer
+    id column — every decoded property is an integer function of the id,
+    so an independent engine (the DuckDB correctness oracle) recomputes
+    the expected decode output without touching the decoders:
+
+    - ``id % 3 == 0`` → image: 8×8 24-bit BMP, all three channels of the
+      TOP-DOWN pixel (x, y) equal to ``(id + 7*(8*y + x)) % 256`` — so the
+      64-dim block-mean feature vector of ``extract_media_features``
+      (8×8 grid over an 8×8 image = one pixel per block) satisfies
+      ``round(feat[k] * 255) == (id + 7*k) % 256`` exactly (equal channels
+      make the grayscale mean exact in float32).
+    - ``id % 3 == 1`` → audio: PCM-16 mono WAV with
+      ``64 + id % 97`` samples at ``8000 + (id % 5) * 1000`` Hz.
+    - ``id % 3 == 2`` → video: 4×4 C420 y4m, ``1 + id % 5`` frames at
+      ``(1 + id % 4):1`` fps — ``sample_frames(every_ms=1000)`` therefore
+      emits exactly the frame indices ``i % fps == 0, i < n_frames``.
+
+    Arrow-batched ``mapInPandas`` over the id column; payload bytes are
+    built worker-side so nothing but ids ever crosses the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys, kinds, payloads, metas = [], [], [], []
+            for raw_id in pdf[id_col]:
+                i = int(raw_id)
+                keys.append(str(i))
+                m = i % 3
+                if m == 0:
+                    kinds.append("image")
+                    payloads.append(encode_bmp(
+                        8, 8, lambda x, y, i=i: ((i + 7 * (8 * y + x)) % 256,) * 3))
+                    metas.append({"width": 8, "height": 8, "sample_rate": None,
+                                  "duration_ms": None, "mime": "image/bmp"})
+                elif m == 1:
+                    kinds.append("audio")
+                    n, rate = 64 + i % 97, 8000 + (i % 5) * 1000
+                    samples = ((i + np.arange(n)) % 61 - 30) * 100
+                    payloads.append(encode_wav_pcm16(samples, rate))
+                    metas.append({"width": None, "height": None, "sample_rate": rate,
+                                  "duration_ms": None, "mime": "audio/wav"})
+                else:
+                    kinds.append("video")
+                    n_frames, fps = 1 + i % 5, 1 + i % 4
+                    frames = [
+                        (np.full((4, 4), (i + f) % 256, dtype=np.uint8),
+                         np.full((2, 2), 128, dtype=np.uint8),
+                         np.full((2, 2), 128, dtype=np.uint8))
+                        for f in range(n_frames)
+                    ]
+                    payloads.append(encode_y4m(frames, fps=(fps, 1)))
+                    metas.append({"width": 4, "height": 4, "sample_rate": None,
+                                  "duration_ms": None, "mime": "video/x-y4m"})
+            yield pd.DataFrame({"media_key": keys, "kind": kinds,
+                                "payload": payloads, "meta": metas})
+
+    return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)

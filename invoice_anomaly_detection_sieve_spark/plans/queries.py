@@ -1484,6 +1484,101 @@ WHERE vec_id < 1000000
 
 
 # ---------------------------------------------------------------------------
+# multimodal: real-format decode, oracle-checked end to end
+# ---------------------------------------------------------------------------
+
+
+def q_mm_probe_media(spark, sf_dir):
+    """Real-format media decode pinned by an independent oracle: the
+    verification corpus (operators/multimodal.py synth_verification_media)
+    derives every payload BYTE from doc_id, so the structural metadata the
+    probe decodes — BMP dimensions, WAV sample count/rate, y4m frame
+    count/fps — is pure integer arithmetic the oracle recomputes without
+    the decoders. One wrong header offset, stride, chunk walk, or frame
+    boundary is a hash failure."""
+    from ..operators import multimodal as M
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id")
+    return M.probe_media(M.synth_verification_media(ids))
+
+
+SQL_MM_PROBE_MEDIA = """
+SELECT CAST(doc_id AS VARCHAR) AS media_key,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CASE doc_id % 3 WHEN 0 THEN 8 WHEN 2 THEN 4 END AS width,
+       CASE doc_id % 3 WHEN 0 THEN 8 WHEN 2 THEN 4 END AS height,
+       CASE doc_id % 3 WHEN 1 THEN 64 + doc_id % 97 END AS n_samples,
+       CASE doc_id % 3 WHEN 1 THEN CAST(8000 + (doc_id % 5) * 1000 AS INT) END AS sample_rate,
+       CASE doc_id % 3 WHEN 2 THEN CAST(1 + doc_id % 5 AS INT) END AS n_frames,
+       CASE doc_id % 3 WHEN 2 THEN CAST(1 + doc_id % 4 AS DOUBLE) END AS fps,
+       TRUE AS decode_ok
+FROM documents
+"""
+
+
+def q_mm_image_decode_verified(spark, sf_dir):
+    """The full image feature path — BMP byte layout (bottom-up rows, BGR
+    order, stride padding) → grayscale → 8×8 block-mean grid — verified
+    value-exactly: the synthesized pixels have equal channels, so each
+    feature is exactly pixel/255 in float32 and ``round(feat*255)``
+    recovers the integer pixel the oracle computes as (doc_id + 7k) % 256
+    (see synth_verification_media). A flipped row order or swapped channel
+    would shift every recovered pixel."""
+    from ..operators import multimodal as M
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 3 == 0
+    )
+    feats = M.extract_media_features(
+        M.synth_verification_media(ids), dim=64, decode_stub=False
+    )
+    return feats.select(
+        "media_key", F.posexplode("feat").alias("band", "v")
+    ).select(
+        "media_key",
+        "band",
+        F.round(F.col("v") * 255).cast("int").alias("px"),
+    )
+
+
+SQL_MM_IMAGE_DECODE = """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_key,
+       CAST(k.band AS INT) AS band,
+       CAST((d.doc_id + 7 * k.band) % 256 AS INT) AS px
+FROM documents d, (SELECT unnest(generate_series(0, 63)) AS band) k
+WHERE d.doc_id % 3 = 0
+"""
+
+
+def q_mm_frame_sampling(spark, sf_dir):
+    """y4m frame sampling pinned end to end: the stream's OWN header
+    (W/H/F) and frame boundaries drive the sampling stride, so the emitted
+    (media_key, frame_idx) set — every index i with i % fps == 0 and
+    i < n_frames — is integer arithmetic the oracle recomputes. The
+    sha256 frame hashes are engine-side evidence (not SQL-computable) and
+    are excluded from the compared columns; the decoded-pixel path itself
+    is value-pinned by mm_image_decode_verified."""
+    from ..operators import multimodal as M
+
+    ids = _t(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 3 == 2
+    )
+    frames = M.sample_frames(
+        M.synth_verification_media(ids), every_ms=1000, decode_stub=False
+    )
+    return frames.select("media_key", "frame_idx")
+
+
+SQL_MM_FRAME_SAMPLING = """
+SELECT CAST(d.doc_id AS VARCHAR) AS media_key, CAST(g.i AS INT) AS frame_idx
+FROM documents d
+JOIN (SELECT unnest(generate_series(0, 4)) AS i) g
+  ON g.i % (1 + d.doc_id % 4) = 0 AND g.i < 1 + d.doc_id % 5
+WHERE d.doc_id % 3 = 2
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1527,6 +1622,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sample_fraction": q_sample_fraction,
     "txt_quality": q_text_quality,
     "sim_lsh_recall": q_sim_lsh_recall,
+    "mm_probe_media": q_mm_probe_media,
+    "mm_image_decode_verified": q_mm_image_decode_verified,
+    "mm_frame_sampling": q_mm_frame_sampling,
 }
 
 ORACLES: dict[str, str] = {
@@ -1566,6 +1664,9 @@ ORACLES: dict[str, str] = {
     "sample_fraction": SQL_SAMPLE_FRACTION,
     "txt_quality": _sql_text_quality(),
     "sim_lsh_recall": SQL_SIM_LSH_RECALL,
+    "mm_probe_media": SQL_MM_PROBE_MEDIA,
+    "mm_image_decode_verified": SQL_MM_IMAGE_DECODE,
+    "mm_frame_sampling": SQL_MM_FRAME_SAMPLING,
     # dedup_minhash_lsh / dedup_simhash: rows-only (raw xxhash64-seeded
     # signatures are engine-specific); their VERIFIED outputs are
     # oracle-checked above (dedup_near_dups_verified /

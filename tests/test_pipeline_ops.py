@@ -387,3 +387,70 @@ def test_ensure_min_parallelism_rebalances_only_when_under(spark):
     # already-wide input passes through untouched (same plan object)
     wide = spark.createDataFrame([(i,) for i in range(100)], "id long").repartition(target + 4)
     assert ensure_min_parallelism(wide) is wide
+
+
+def test_probe_media_verification_corpus(spark):
+    """synth_verification_media → probe_media: the decoded structural
+    metadata equals the integer arithmetic the corpus docstring promises
+    (the same arithmetic the mm_probe_media oracle runs in DuckDB), and a
+    corrupted payload degrades to decode_ok=False without killing the job."""
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    media = multimodal.synth_verification_media(ids)
+    probed = {r["media_key"]: r.asDict() for r in multimodal.probe_media(media).collect()}
+    assert len(probed) == 12
+    for i in range(12):
+        r = probed[str(i)]
+        assert r["decode_ok"]
+        if i % 3 == 0:
+            assert (r["kind"], r["width"], r["height"]) == ("image", 8, 8)
+            assert r["n_samples"] is None and r["n_frames"] is None
+        elif i % 3 == 1:
+            assert r["kind"] == "audio"
+            assert r["n_samples"] == 64 + i % 97
+            assert r["sample_rate"] == 8000 + (i % 5) * 1000
+        else:
+            assert r["kind"] == "video"
+            assert r["n_frames"] == 1 + i % 5
+            assert r["fps"] == float(1 + i % 4)
+            assert (r["width"], r["height"]) == (4, 4)
+
+    corrupt = media.select(
+        "media_key", "kind",
+        F.expr("CAST('junk' AS BINARY)").alias("payload"), "meta",
+    )
+    bad = multimodal.probe_media(corrupt).collect()
+    assert len(bad) == 12 and all(not r["decode_ok"] for r in bad)
+
+
+def test_image_decode_feature_pixels_exact(spark):
+    """The mm_image_decode_verified invariant end to end on Spark: every
+    block-mean feature recovers its source pixel exactly through the
+    float32 path (equal channels ⇒ exact grayscale)."""
+    ids = spark.createDataFrame([(i * 3,) for i in range(6)], "doc_id long")
+    feats = multimodal.extract_media_features(
+        multimodal.synth_verification_media(ids), dim=64, decode_stub=False
+    )
+    for r in feats.collect():
+        i = int(r["media_key"])
+        assert r["decode_ok"]
+        got = [int(round(v * 255)) for v in r["feat"]]
+        assert got == [(i + 7 * k) % 256 for k in range(64)]
+
+
+def test_frame_sampling_matches_stream_timing(spark):
+    """sample_frames on the verification corpus emits exactly the indices
+    i % fps == 0, i < n_frames — the stream's own header timing, which is
+    what the mm_frame_sampling oracle recomputes."""
+    ids = spark.createDataFrame([(i,) for i in range(2, 26, 3)], "doc_id long")
+    out = multimodal.sample_frames(
+        multimodal.synth_verification_media(ids), every_ms=1000, decode_stub=False
+    ).collect()
+    got = sorted((r["media_key"], r["frame_idx"]) for r in out)
+    expected = sorted(
+        (str(i), k)
+        for i in range(2, 26, 3)
+        if i % 3 == 2
+        for k in range(1 + i % 5)
+        if k % (1 + i % 4) == 0
+    )
+    assert got == expected and expected
