@@ -8,7 +8,7 @@ descending then SLA aging (UI-001, /root/reference/requirements.md:183).
 
 Divergence (cited): the reference mints ``case_<uuid4>`` ids on the
 app-server; a distributed engine needs ids that are deterministic under
-retry/resume, so case_id = ``case_`` + sha2(doc_id)[:12]. One case per
+retry/resume, so case_id = ``case_`` + sha2(doc_id)[:32]. One case per
 document either way (the reference's SELECT-first guarantees that too).
 """
 
