@@ -15,6 +15,7 @@ and dedup per app/main.py:326-327).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -54,6 +55,10 @@ class ValidationConfig:
     # the "drift" constraint. All extra fields pivot into ONE broadcast
     # row per partition — no per-field join fan-out.
     drift_fields: tuple[str, ...] = ("total",)
+    # staging dir for persist_extraction="staging" (None = a fresh
+    # tempdir; the runner passes a per-run path under its output root so
+    # resume/cleanup owns it)
+    staging_dir: str | None = None
     # derived in __post_init__: the audit ledger's constraints_evaluated
     # must list what actually RAN, not the full menu (a run with
     # enable_dq=False claiming row_dq misleads anyone auditing coverage)
@@ -362,23 +367,42 @@ def run_validation(
     media_registry: DataFrame,
     baseline_profiles: DataFrame | None = None,
     config: ValidationConfig | None = None,
-    persist_extraction: bool = True,
+    persist_extraction: bool | str = True,
 ) -> dict[str, DataFrame]:
     """Full validation run. Returns the output DataFrames (lazily built;
     the caller/runner triggers execution by writing or collecting):
     ``doc_verdicts``, ``violations``, ``part_verdicts``, ``profiles``.
 
-    The extracted docs table is persisted (MEMORY_AND_DISK) because five
-    DAG branches consume it; at cluster scale the equivalent is
-    materializing the extraction once per run (the catalog's staging
-    table) instead of re-parsing spans per branch.
+    The extraction is consumed by five DAG branches, so it is materialized
+    once. ``persist_extraction`` picks the strategy:
+
+    - ``True`` / ``"cache"``: eager in-memory columnar cache. Lowest
+      latency when the extraction fits comfortably in executor memory AND
+      memory bandwidth is not the bottleneck.
+    - ``"staging"``: write the extraction to a snappy parquet staging dir
+      and re-read it per branch — the cluster-scale strategy (a staging
+      table). The columnar cache of this table is ~8x larger than its
+      parquet bytes (nested line arrays defeat the columnar codecs —
+      session.py), so on a bandwidth-saturated socket five cache reads
+      cost ~10 GB of DRAM traffic vs ~1 GB of page-cached parquet;
+      measured at the x8 scaling corpus this lifts 8->32-core scaling
+      (see BENCH/BASELINE.md round-5 notes).
+    - ``False``: no materialization (caller persists, or accepts
+      re-extraction per branch).
     """
     cfg = config or ValidationConfig()
     # the raw span array is not consumed downstream (span_canon carries the
     # byte-exact invariant) — dropping it before the persist makes the
     # columnar cache build ~3x cheaper (nested array encoding dominates)
     docs = extract_docs(documents).drop("spans")
-    if persist_extraction:
+    if persist_extraction == "staging":
+        import tempfile
+
+        staging = cfg.staging_dir or tempfile.mkdtemp(prefix="sieve_staging_")
+        path = os.path.join(staging, "extracted_docs.parquet")
+        docs.write.mode("overwrite").parquet(path)
+        docs = docs.sparkSession.read.parquet(path)
+    elif persist_extraction:
         # EAGER materialization, not a lazy persist: the verdict DAG fans
         # out into several concurrent jobs (broadcast exchanges for
         # profiles/history/registry run on separate driver threads). With a

@@ -219,3 +219,60 @@ def test_multi_field_drift_stored_baseline(spark):
         V.run_validation(
             documents, media_registry, baseline_profiles=total_only, config=cfg
         )
+
+
+def _norm9(v):
+    """Round float cells to 9 decimals (the driver-oracle tolerance):
+    changing the physical partitioning legitimately reorders float
+    aggregation, so cross-mode equality holds up to fp-associativity,
+    not to the last ulp."""
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm9(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm9(x)) for k, x in v.items()))
+    if isinstance(v, str):
+        # violation details maps stringify full-precision floats
+        try:
+            f = float(v)
+        except ValueError:
+            return v
+        return repr(round(f, 9)) if "." in v or "e" in v.lower() else v
+    return v
+
+
+def test_staging_extraction_matches_cache_mode(spark, tmp_path):
+    """persist_extraction="staging" (parquet staging table instead of the
+    in-memory columnar cache — the bandwidth-saturated / cluster-scale
+    strategy) must produce the same verdicts, violations, and partition
+    verdicts as the cache mode (9-decimal float tolerance: the staging
+    read re-partitions, which reorders float aggregation)."""
+    documents, media_registry, _ = synthesize_documents(spark, seed=42)
+    cfg_staging = V.ValidationConfig(
+        dq_as_of="2024-04-01", staging_dir=str(tmp_path)
+    )
+    out = {}
+    for mode in (True, "staging"):
+        cfg = cfg_staging if mode == "staging" else V.ValidationConfig(
+            dq_as_of="2024-04-01"
+        )
+        res = V.run_validation(
+            documents, media_registry, config=cfg, persist_extraction=mode
+        )
+        out[mode] = {
+            "verdicts": sorted(
+                _norm9(tuple(r)) for r in res["doc_verdicts"].collect()
+            ),
+            "violations": sorted(
+                _norm9(tuple(r)) for r in res["violations"].collect()
+            ),
+            "parts": sorted(
+                _norm9(tuple(r)) for r in res["part_verdicts"].collect()
+            ),
+        }
+        res["extracted_docs"].unpersist()
+    assert out[True]["verdicts"], "corpus must produce verdicts"
+    assert out[True] == out["staging"]
+    import os
+    assert os.path.isdir(os.path.join(str(tmp_path), "extracted_docs.parquet"))

@@ -87,8 +87,13 @@ def run(cores: int):
             "first_task": s.get("firstTaskLaunchedTime", ""),
             "completion": s.get("completionTime", ""),
         })
+    try:
+        sqls = json.load(urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/sql?details=true&length=200"))
+    except Exception as e:  # noqa: BLE001
+        sqls = [{"error": str(e)}]
     result = {"cores": cores, "wall_s": round(sec, 2), "verdicts": n,
-              "stages": out}
+              "stages": out, "sql": sqls}
     fn = f"/tmp/profile_stages_{cores}.json"
     with open(fn, "w") as f:
         json.dump(result, f, indent=1)
