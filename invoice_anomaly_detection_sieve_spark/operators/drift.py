@@ -39,13 +39,21 @@ BENFORD_CHI2_ALERT = 26.12  # χ² critical value, df=8, α=0.001 (the flag)
 def with_anomaly_scores(
     docs: DataFrame,
     profiles: DataFrame,
-    history_counts: DataFrame,
+    history_counts: DataFrame | None = None,
     history_includes_self: bool = True,
 ) -> DataFrame:
     """Attach amount_z, outlier flag, anom_prob per doc.
 
     ``docs`` must already carry ``bank_change`` (registry.bank_change_flags).
     Profiles/history are one-row-per-partition ⇒ broadcast joins (J5).
+
+    ``history_counts=None`` reads the history size off the profile row's
+    ``cnt`` column instead — ONE broadcast join and one profile
+    computation total, where a separate history frame derived from the
+    same profiles (the common case — plans/validate.py always derived it
+    that way) re-ran the whole profile aggregation for a second broadcast.
+    Pass an explicit frame only when the history count genuinely comes
+    from somewhere else.
 
     ``history_includes_self``: True when the history count was profiled
     from the corpus being validated (each doc is in its own history, so
@@ -54,14 +62,21 @@ def with_anomaly_scores(
     subtracting 1 there would shift the <5 cold-history discount boundary
     by one for every partition.
     """
-    prof = profiles.select(
+    prof_cols = [
         F.col("part"),
         F.col("mean").alias("_bl_mean"),
         F.col("std").alias("_bl_std"),
         F.col("sample_count").alias("_bl_n"),
-    )
-    hist = history_counts.select("part", "part_doc_count")
-    out = docs.join(broadcast(prof), "part", "left").join(broadcast(hist), "part", "left")
+    ]
+    if history_counts is None:
+        prof = profiles.select(*prof_cols, F.col("cnt").alias("part_doc_count"))
+        out = docs.join(broadcast(prof), "part", "left")
+    else:
+        prof = profiles.select(*prof_cols)
+        hist = history_counts.select("part", "part_doc_count")
+        out = docs.join(broadcast(prof), "part", "left").join(
+            broadcast(hist), "part", "left"
+        )
     if history_includes_self:
         hist_excl_self = F.greatest(
             F.coalesce(F.col("part_doc_count"), F.lit(1)) - 1, F.lit(0)
@@ -71,15 +86,17 @@ def with_anomaly_scores(
             F.coalesce(F.col("part_doc_count"), F.lit(0)), F.lit(0)
         )
     z = S.amount_z(F.col("total"), F.col("_bl_mean"), F.col("_bl_std"), F.col("_bl_n"))
-    out = (
-        out.withColumn("amount_z", z)
-        .withColumn("amount_outlier", F.col("amount_z") >= Z_OUTLIER_THRESHOLD)
-        .withColumn("hist_count", hist_excl_self)
-        .withColumn(
-            "anom_prob",
-            S.anomaly_probability(F.col("amount_z"), F.col("bank_change"), hist_excl_self),
-        )
-    )
+    # one withColumns call (not a chain): each chained withColumn is a
+    # py4j round-trip + plan re-analysis — pure driver latency per run.
+    # The z / hist expressions are inlined where the old chain referenced
+    # the freshly attached columns; identical values, and codegen's
+    # common-subexpression elimination keeps the runtime cost the same.
+    out = out.withColumns({
+        "amount_z": z,
+        "amount_outlier": z >= Z_OUTLIER_THRESHOLD,
+        "hist_count": hist_excl_self,
+        "anom_prob": S.anomaly_probability(z, F.col("bank_change"), hist_excl_self),
+    })
     return out.drop("_bl_mean", "_bl_std", "_bl_n", "part_doc_count")
 
 

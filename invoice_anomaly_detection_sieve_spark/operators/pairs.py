@@ -218,15 +218,22 @@ def _prefixed(docs: DataFrame, prefix: str, line_arrays=None) -> DataFrame:
     """Pair payload projection: scalar header columns plus the per-line
     flat arrays (pass ``line_arrays={}`` for headers only). The transforms
     run once per DOC row (the projection sits below the pair join's
-    exchange), not once per pair."""
+    exchange), not once per pair. A docs frame that already carries the
+    flat arrays (run_validation's slim persisted extraction) is consumed
+    as-is — re-deriving them from ``lines`` would re-run the array
+    transforms per branch and force the cache to hold the fat
+    array<struct> column."""
     sel = [F.col(c).alias(prefix + c) for c in PAIR_PAYLOAD_COLS]
     if line_arrays is None:
         line_arrays = PAIR_LINE_ARRAYS
-    lines = F.col("lines")
-    sel += [
-        F.transform(lines, fn).alias(prefix + name)
-        for name, fn in line_arrays.items()
-    ]
+    if line_arrays and all(name in docs.columns for name in line_arrays):
+        sel += [F.col(name).alias(prefix + name) for name in line_arrays]
+    else:
+        lines = F.col("lines")
+        sel += [
+            F.transform(lines, fn).alias(prefix + name)
+            for name, fn in line_arrays.items()
+        ]
     return docs.select(*sel)
 
 
@@ -248,16 +255,27 @@ def _features_per_pair(docs: DataFrame, pairs: DataFrame) -> DataFrame:
       broadcast — the same O(N)-broadcast ban as the dup rollup join in
       plans/validate.py. shuffle_hash keys both payload joins on doc_id:
       bounded exchanges, no driver involvement.
+    - join ORDER is b-side first: exactly one exchange must carry a
+      payload fanned out per pair (the other payload joins against pair
+      rows already clustered on its key), and the B payload is the
+      lighter one (no line_amts — the unmatched-amount feature reads only
+      the A side's amounts). Ending on the a_doc_id join also leaves the
+      kernel's output hash-partitioned by a_doc_id, which the top-k
+      window and the per-doc rollup downstream reuse — the old a-first
+      order shuffled the a-payload (4 line arrays) per pair AND re-
+      exchanged the kernel output for the window (3 exchanges of
+      pair-fanned payloads; now 1).
     """
     a = _prefixed(docs, "a_")
     b = _prefixed(docs, "b_", _B_LINE_ARRAYS)
     n_part = pairs.sparkSession.sparkContext.defaultParallelism
-    pairs = pairs.repartition(n_part, "a_doc_id")
-    j = (
-        pairs.join(a.hint("shuffle_hash"), pairs["a_doc_id"] == a["a_doc_id"])
-        .drop(a["a_doc_id"])
-        .join(b.hint("shuffle_hash"), pairs["b_doc_id"] == b["b_doc_id"])
-        .drop(b["b_doc_id"])
+    pairs = pairs.repartition(n_part, "b_doc_id")
+    jb = pairs.join(
+        b.hint("shuffle_hash"), pairs["b_doc_id"] == b["b_doc_id"]
+    ).drop(b["b_doc_id"])
+    jb = jb.repartition(n_part, "a_doc_id")
+    j = jb.join(a.hint("shuffle_hash"), jb["a_doc_id"] == a["a_doc_id"]).drop(
+        a["a_doc_id"]
     )
     return j.select(
         "part",
@@ -288,14 +306,21 @@ def _features_dict(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         .unionAll(pairs.select("_pid", F.col("b_doc_id").alias("_dict_id")))
         .distinct()
     )
-    payload = docs.select(
-        F.col("doc_id").alias("_dict_id"),
-        F.col("invnum_norm").alias("_invnum"),
-        *[
-            F.transform(F.col("lines"), fn).alias("_" + name)
-            for name, fn in PAIR_LINE_ARRAYS.items()
-        ],
-    )
+    if all(name in docs.columns for name in PAIR_LINE_ARRAYS):
+        payload = docs.select(
+            F.col("doc_id").alias("_dict_id"),
+            F.col("invnum_norm").alias("_invnum"),
+            *[F.col(name).alias("_" + name) for name in PAIR_LINE_ARRAYS],
+        )
+    else:
+        payload = docs.select(
+            F.col("doc_id").alias("_dict_id"),
+            F.col("invnum_norm").alias("_invnum"),
+            *[
+                F.transform(F.col("lines"), fn).alias("_" + name)
+                for name, fn in PAIR_LINE_ARRAYS.items()
+            ],
+        )
     # shuffle_hash: the dictionary is O(docs) per side — same
     # no-O(N)-broadcast rule as every other doc-keyed join here
     dict_rows = dict_ids.join(payload.hint("shuffle_hash"), "_dict_id").withColumn(
@@ -374,29 +399,27 @@ def score_pairs(
         F.col("b_pdf_hash"),
     )
 
-    scored = j.withColumn(
-        "dup_prob",
-        S.dup_probability(
+    # ONE withColumns call for the probability + deterministic rules
+    # (rules applied from the top-1 row only downstream): every chained
+    # withColumn is a py4j round-trip plus an incremental re-analysis of
+    # the whole plan — on this DAG the chain was measured at ~40 ms per
+    # call of pure driver latency, paid once per run
+    return j.withColumns({
+        "dup_prob": S.dup_probability(
             weights=(model or {}).get("weights"),
             bias=(model or {}).get("bias"),
         ),
-    )
-
-    # deterministic rules evaluated per pair; applied from the top-1 row only
-    scored = scored.withColumn(
-        "rule_exact_invnum",
-        S.rule_same_invnum_norm(F.col("a_invnum_norm"), F.col("b_invnum_norm")),
-    ).withColumn(
-        "rule_same_po_near_total",
-        S.rule_same_po_near_total(
+        "rule_exact_invnum": S.rule_same_invnum_norm(
+            F.col("a_invnum_norm"), F.col("b_invnum_norm")
+        ),
+        "rule_same_po_near_total": S.rule_same_po_near_total(
             F.col("a_po"), F.col("b_po"), F.col("a_total"), F.col("b_total"),
             F.col("days_diff").cast("int"),
         ),
-    ).withColumn(
-        "rule_pdf_near_dup",
-        S.rule_pdf_near_dup(F.col("a_pdf_hash"), F.col("b_pdf_hash")),
-    )
-    return scored
+        "rule_pdf_near_dup": S.rule_pdf_near_dup(
+            F.col("a_pdf_hash"), F.col("b_pdf_hash")
+        ),
+    })
 
 
 def top_matches(scored: DataFrame, k: int = 3) -> DataFrame:

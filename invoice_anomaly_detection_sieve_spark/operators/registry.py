@@ -41,7 +41,10 @@ def bank_change_flags(docs: DataFrame, media_registry: DataFrame) -> DataFrame:
         .when(F.col("_reg_key").isNull(), F.lit(True))  # unregistered ⇒ new account
         .otherwise(fresh)
     )
-    return joined.withColumn("bank_change", flag).drop("_reg_key", "first_seen", "last_seen")
+    # one projection (attach flag + drop registry cols) instead of a
+    # withColumn + drop chain — two fewer plan re-analyses per run
+    keep = [c for c in docs.columns]
+    return joined.select(*keep, flag.alias("bank_change"))
 
 
 def dangling_refs(docs: DataFrame, media_registry: DataFrame) -> DataFrame:

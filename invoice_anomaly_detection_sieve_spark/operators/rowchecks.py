@@ -38,11 +38,12 @@ def with_row_checks(docs: DataFrame, as_of: str | None = None) -> DataFrame:
     """Attach the three DQ flags (dq_line_sum_mismatch, dq_bad_currency,
     dq_future_date). ``as_of`` pins 'today' for deterministic tests."""
     as_of_col = F.to_date(F.lit(as_of)) if as_of else F.current_date()
-    return (
-        docs.withColumn(
-            "dq_line_sum_mismatch",
-            line_sum_mismatch(F.col("total"), F.col("line_amount_sum"), F.col("n_lines")),
-        )
-        .withColumn("dq_bad_currency", bad_currency(F.col("currency")))
-        .withColumn("dq_future_date", future_date(F.col("date"), as_of_col))
-    )
+    # single withColumns call — a chained withColumn costs a py4j
+    # round-trip + plan re-analysis each (driver latency per run)
+    return docs.withColumns({
+        "dq_line_sum_mismatch": line_sum_mismatch(
+            F.col("total"), F.col("line_amount_sum"), F.col("n_lines")
+        ),
+        "dq_bad_currency": bad_currency(F.col("currency")),
+        "dq_future_date": future_date(F.col("date"), as_of_col),
+    })
