@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .functions import normalize as N
+from .functions.exprcache import cached_exprs
 
 LINE_JSON_SCHEMA = "desc string, qty double, unit_price double, amount double, sku string"
 
@@ -136,41 +137,52 @@ def extract_docs(documents: DataFrame) -> DataFrame:
       expression trees — an expression inside a lambda body is
       re-evaluated per array element.
     """
-    stage0 = documents.select(
-        part_of(F.col("doc_id")).alias("part"),
-        F.col("doc_id"),
-        F.col("spans"),
-        sorted_spans(F.col("spans")).alias("_ord"),
-    )
-    ordered = F.col("_ord")  # attribute reference: sorted exactly once
-    stage1 = stage0.select(
-        "part",
-        F.col("doc_id"),
-        _first_text_sorted(ordered, "header").alias("invnum_raw"),
-        _first_text_sorted(ordered, "po").alias("po"),
-        _first_text_sorted(ordered, "amount").try_cast("double").alias("total"),
-        _first_text_sorted(ordered, "tax").try_cast("double").alias("tax_total"),
-        _first_text_sorted(ordered, "currency").alias("currency"),
-        F.try_to_timestamp(_first_text_sorted(ordered, "date")).cast("date").alias("date"),
-        _first_text_sorted(ordered, "payee").alias("payee"),
-        _first_media_sorted(ordered, "media").alias("media_key"),
-        _first_media_sorted(ordered, "pdf").alias("pdf_hash"),
-        F.filter(
-            F.transform(ordered, lambda s: s["media_ref"]), lambda r: r.isNotNull()
-        ).alias("media_refs"),
-        _lines_from_sorted(_kind_of_sorted(ordered, "line")).alias("lines"),
-        F.col("spans"),
-        N.span_canonical_sorted(ordered).alias("span_canon"),
-    )
-    lines = F.col("lines")  # attribute reference: parsed exactly once
-    return stage1.select(
-        "*",
-        N.invnum_norm(F.col("invnum_raw")).alias("invnum_norm"),
-        F.size(lines).alias("n_lines"),
-        F.aggregate(
-            lines, F.lit(0.0), lambda acc, l: acc + F.coalesce(l["amount"], F.lit(0.0))
-        ).alias("line_amount_sum"),
-        F.array_join(
-            F.transform(lines, lambda l: F.coalesce(l["desc_norm"], F.lit(""))), " "
-        ).alias("desc_blob"),
-    )
+    # the three select lists are pure column expressions over fixed names —
+    # built once per SparkContext (each build costs dozens of py4j round
+    # trips; the extraction alone measured ~0.4 s of construction per run)
+    def _stage0_cols():
+        return [
+            part_of(F.col("doc_id")).alias("part"),
+            F.col("doc_id"),
+            F.col("spans"),
+            sorted_spans(F.col("spans")).alias("_ord"),
+        ]
+
+    def _stage1_cols():
+        ordered = F.col("_ord")  # attribute reference: sorted exactly once
+        return [
+            F.col("part"),
+            F.col("doc_id"),
+            _first_text_sorted(ordered, "header").alias("invnum_raw"),
+            _first_text_sorted(ordered, "po").alias("po"),
+            _first_text_sorted(ordered, "amount").try_cast("double").alias("total"),
+            _first_text_sorted(ordered, "tax").try_cast("double").alias("tax_total"),
+            _first_text_sorted(ordered, "currency").alias("currency"),
+            F.try_to_timestamp(_first_text_sorted(ordered, "date")).cast("date").alias("date"),
+            _first_text_sorted(ordered, "payee").alias("payee"),
+            _first_media_sorted(ordered, "media").alias("media_key"),
+            _first_media_sorted(ordered, "pdf").alias("pdf_hash"),
+            F.filter(
+                F.transform(ordered, lambda s: s["media_ref"]), lambda r: r.isNotNull()
+            ).alias("media_refs"),
+            _lines_from_sorted(_kind_of_sorted(ordered, "line")).alias("lines"),
+            F.col("spans"),
+            N.span_canonical_sorted(ordered).alias("span_canon"),
+        ]
+
+    def _stage2_cols():
+        lines = F.col("lines")  # attribute reference: parsed exactly once
+        return [
+            N.invnum_norm(F.col("invnum_raw")).alias("invnum_norm"),
+            F.size(lines).alias("n_lines"),
+            F.aggregate(
+                lines, F.lit(0.0), lambda acc, l: acc + F.coalesce(l["amount"], F.lit(0.0))
+            ).alias("line_amount_sum"),
+            F.array_join(
+                F.transform(lines, lambda l: F.coalesce(l["desc_norm"], F.lit(""))), " "
+            ).alias("desc_blob"),
+        ]
+
+    stage0 = documents.select(*cached_exprs(("extract.stage0",), _stage0_cols))
+    stage1 = stage0.select(*cached_exprs(("extract.stage1",), _stage1_cols))
+    return stage1.select("*", *cached_exprs(("extract.stage2",), _stage2_cols))

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.exprcache import cached_exprs
 from .balance import guard_hot_keys
 
 DEFAULT_CAP = 200  # BR-004, app/retrieval.py:12
@@ -40,26 +41,31 @@ def block_keys(docs: DataFrame) -> DataFrame:
       N|invnum_norm           — equal normalized doc number
       M|media_key             — equal non-null media/account key
     """
-    total_r = F.round(F.col("total"), 2).cast("string")
-    month = F.date_format(F.date_trunc("month", F.col("date")), "yyyy-MM")
-    keys = F.array(
-        F.when(
-            F.col("total").isNotNull() & F.col("date").isNotNull(),
-            F.concat_ws("|", F.lit("T"), total_r, month),
-        ),
-        F.when(
-            F.col("po").isNotNull() & (F.col("po") != ""), F.concat(F.lit("P|"), F.col("po"))
-        ),
-        F.when(
-            F.col("invnum_norm").isNotNull(), F.concat(F.lit("N|"), F.col("invnum_norm"))
-        ),
-        F.when(
-            F.col("media_key").isNotNull(), F.concat(F.lit("M|"), F.col("media_key"))
-        ),
-    )
-    return docs.select(
-        "part", "doc_id", F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("bkey")
-    )
+    def _key_cols():
+        total_r = F.round(F.col("total"), 2).cast("string")
+        month = F.date_format(F.date_trunc("month", F.col("date")), "yyyy-MM")
+        keys = F.array(
+            F.when(
+                F.col("total").isNotNull() & F.col("date").isNotNull(),
+                F.concat_ws("|", F.lit("T"), total_r, month),
+            ),
+            F.when(
+                F.col("po").isNotNull() & (F.col("po") != ""), F.concat(F.lit("P|"), F.col("po"))
+            ),
+            F.when(
+                F.col("invnum_norm").isNotNull(), F.concat(F.lit("N|"), F.col("invnum_norm"))
+            ),
+            F.when(
+                F.col("media_key").isNotNull(), F.concat(F.lit("M|"), F.col("media_key"))
+            ),
+        )
+        return [
+            F.col("part"),
+            F.col("doc_id"),
+            F.explode(F.filter(keys, lambda k: k.isNotNull())).alias("bkey"),
+        ]
+
+    return docs.select(*cached_exprs(("blocking.keys",), _key_cols))
 
 
 def candidate_pairs(
@@ -89,22 +95,27 @@ def candidate_pairs(
     #    scale-adaptive on a cluster where defaultParallelism tracks
     #    executor count).
     keys = guard_hot_keys(block_keys(docs), ["part", "bkey"], max_key_fanout)
-    grouped = keys.groupBy("part", "bkey").agg(F.collect_list("doc_id").alias("_ids"))
+    grouped = keys.groupBy("part", "bkey").agg(
+        cached_exprs(("blocking.collect",), lambda: F.collect_list("doc_id").alias("_ids"))
+    )
     pairs = (
-        grouped.select(
-            "part",
+        grouped.select(*cached_exprs(("blocking.explode_a",), lambda: [
+            F.col("part"),
             F.substring("bkey", 1, 1).alias("_block"),
             F.explode("_ids").alias("a_doc_id"),
             F.col("_ids"),
-        )
-        .select("part", "_block", "a_doc_id", F.explode("_ids").alias("b_doc_id"))
+        ]))
+        .select(*cached_exprs(("blocking.explode_b",), lambda: [
+            F.col("part"), F.col("_block"), F.col("a_doc_id"),
+            F.explode("_ids").alias("b_doc_id"),
+        ]))
         .where(F.col("a_doc_id") != F.col("b_doc_id"))
     )
     n_part = docs.sparkSession.sparkContext.defaultParallelism
     deduped = pairs.repartition(n_part, "a_doc_id").groupBy(
         "part", "a_doc_id", "b_doc_id"
     ).agg(
-        F.min(
+        cached_exprs(("blocking.prio",), lambda: F.min(
             # map block letter -> priority, keep strongest
             F.element_at(
                 F.create_map(
@@ -112,11 +123,13 @@ def candidate_pairs(
                 ),
                 F.col("_block"),
             )
-        ).alias("block_priority")
+        ).alias("block_priority"))
     )
-    w = Window.partitionBy("a_doc_id").orderBy("block_priority", "b_doc_id")
+    rn = cached_exprs(("blocking.rank",), lambda: F.row_number().over(
+        Window.partitionBy("a_doc_id").orderBy("block_priority", "b_doc_id")
+    ))
     return (
-        deduped.withColumn("_rn", F.row_number().over(w))
+        deduped.withColumn("_rn", rn)
         .where(F.col("_rn") <= cap)
         .drop("_rn")
     )

@@ -62,41 +62,52 @@ def with_anomaly_scores(
     subtracting 1 there would shift the <5 cold-history discount boundary
     by one for every partition.
     """
-    prof_cols = [
-        F.col("part"),
-        F.col("mean").alias("_bl_mean"),
-        F.col("std").alias("_bl_std"),
-        F.col("sample_count").alias("_bl_n"),
-    ]
+    from ..functions.exprcache import cached_exprs
+
+    def _prof_cols():
+        cols = [
+            F.col("part"),
+            F.col("mean").alias("_bl_mean"),
+            F.col("std").alias("_bl_std"),
+            F.col("sample_count").alias("_bl_n"),
+        ]
+        if history_counts is None:
+            cols.append(F.col("cnt").alias("part_doc_count"))
+        return cols
+
+    prof = profiles.select(*cached_exprs(("anom.prof", history_counts is None), _prof_cols))
     if history_counts is None:
-        prof = profiles.select(*prof_cols, F.col("cnt").alias("part_doc_count"))
         out = docs.join(broadcast(prof), "part", "left")
     else:
-        prof = profiles.select(*prof_cols)
         hist = history_counts.select("part", "part_doc_count")
         out = docs.join(broadcast(prof), "part", "left").join(
             broadcast(hist), "part", "left"
         )
-    if history_includes_self:
-        hist_excl_self = F.greatest(
-            F.coalesce(F.col("part_doc_count"), F.lit(1)) - 1, F.lit(0)
-        )
-    else:
-        hist_excl_self = F.greatest(
-            F.coalesce(F.col("part_doc_count"), F.lit(0)), F.lit(0)
-        )
-    z = S.amount_z(F.col("total"), F.col("_bl_mean"), F.col("_bl_std"), F.col("_bl_n"))
-    # one withColumns call (not a chain): each chained withColumn is a
-    # py4j round-trip + plan re-analysis — pure driver latency per run.
-    # The z / hist expressions are inlined where the old chain referenced
-    # the freshly attached columns; identical values, and codegen's
-    # common-subexpression elimination keeps the runtime cost the same.
-    out = out.withColumns({
-        "amount_z": z,
-        "amount_outlier": z >= Z_OUTLIER_THRESHOLD,
-        "hist_count": hist_excl_self,
-        "anom_prob": S.anomaly_probability(z, F.col("bank_change"), hist_excl_self),
-    })
+
+    def _score_cols():
+        if history_includes_self:
+            hist_excl_self = F.greatest(
+                F.coalesce(F.col("part_doc_count"), F.lit(1)) - 1, F.lit(0)
+            )
+        else:
+            hist_excl_self = F.greatest(
+                F.coalesce(F.col("part_doc_count"), F.lit(0)), F.lit(0)
+            )
+        z = S.amount_z(F.col("total"), F.col("_bl_mean"), F.col("_bl_std"), F.col("_bl_n"))
+        # one withColumns dict (not a chain): each chained withColumn is a
+        # py4j round-trip + plan re-analysis — pure driver latency per run.
+        # The z / hist expressions are inlined where the old chain
+        # referenced the freshly attached columns; identical values, and
+        # codegen's common-subexpression elimination keeps the runtime
+        # cost the same.
+        return {
+            "amount_z": z,
+            "amount_outlier": z >= Z_OUTLIER_THRESHOLD,
+            "hist_count": hist_excl_self,
+            "anom_prob": S.anomaly_probability(z, F.col("bank_change"), hist_excl_self),
+        }
+
+    out = out.withColumns(cached_exprs(("anom.score", history_includes_self), _score_cols))
     return out.drop("_bl_mean", "_bl_std", "_bl_n", "part_doc_count")
 
 
@@ -105,24 +116,29 @@ def benford_stats(profiles: DataFrame) -> DataFrame:
 
     Output: part, benford_n, benford_chi2, benford_mad, benford_fail.
     """
-    exp = F.array(*[F.lit(e) for e in BENFORD_EXPECTED])
-    n = F.aggregate(F.col("digit_hist"), F.lit(0.0), lambda a, x: a + x)
-    obs_p = F.transform(F.col("digit_hist"), lambda x: x / F.greatest(n, F.lit(1.0)))
-    chi2 = F.aggregate(
-        F.zip_with(obs_p, exp, lambda o, e: (o - e) * (o - e) / e),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    ) * n
-    mad = F.aggregate(
-        F.zip_with(obs_p, exp, lambda o, e: F.abs(o - e)), F.lit(0.0), lambda a, x: a + x
-    ) / F.lit(9.0)
-    return profiles.select(
-        "part",
-        n.cast("long").alias("benford_n"),
-        chi2.alias("benford_chi2"),
-        mad.alias("benford_mad"),
-        (chi2 > BENFORD_CHI2_ALERT).alias("benford_fail"),
-    )
+    from ..functions.exprcache import cached_exprs
+
+    def _benford_cols():
+        exp = F.array(*[F.lit(e) for e in BENFORD_EXPECTED])
+        n = F.aggregate(F.col("digit_hist"), F.lit(0.0), lambda a, x: a + x)
+        obs_p = F.transform(F.col("digit_hist"), lambda x: x / F.greatest(n, F.lit(1.0)))
+        chi2 = F.aggregate(
+            F.zip_with(obs_p, exp, lambda o, e: (o - e) * (o - e) / e),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ) * n
+        mad = F.aggregate(
+            F.zip_with(obs_p, exp, lambda o, e: F.abs(o - e)), F.lit(0.0), lambda a, x: a + x
+        ) / F.lit(9.0)
+        return [
+            F.col("part"),
+            n.cast("long").alias("benford_n"),
+            chi2.alias("benford_chi2"),
+            mad.alias("benford_mad"),
+            (chi2 > BENFORD_CHI2_ALERT).alias("benford_fail"),
+        ]
+
+    return profiles.select(*cached_exprs(("benford.sel",), _benford_cols))
 
 
 def psi(

@@ -44,6 +44,7 @@ from pyspark.sql.functions import pandas_udf
 
 from ..functions import kernels as K
 from ..functions import scoring as S
+from ..functions.exprcache import cached_exprs
 
 PAIR_PAYLOAD_COLS = [
     "doc_id",
@@ -223,18 +224,24 @@ def _prefixed(docs: DataFrame, prefix: str, line_arrays=None) -> DataFrame:
     as-is — re-deriving them from ``lines`` would re-run the array
     transforms per branch and force the cache to hold the fat
     array<struct> column."""
-    sel = [F.col(c).alias(prefix + c) for c in PAIR_PAYLOAD_COLS]
     if line_arrays is None:
         line_arrays = PAIR_LINE_ARRAYS
-    if line_arrays and all(name in docs.columns for name in line_arrays):
-        sel += [F.col(name).alias(prefix + name) for name in line_arrays]
-    else:
-        lines = F.col("lines")
-        sel += [
-            F.transform(lines, fn).alias(prefix + name)
-            for name, fn in line_arrays.items()
-        ]
-    return docs.select(*sel)
+    flat = bool(line_arrays) and all(name in docs.columns for name in line_arrays)
+
+    def _build():
+        sel = [F.col(c).alias(prefix + c) for c in PAIR_PAYLOAD_COLS]
+        if flat:
+            sel += [F.col(name).alias(prefix + name) for name in line_arrays]
+        else:
+            lines = F.col("lines")
+            sel += [
+                F.transform(lines, fn).alias(prefix + name)
+                for name, fn in line_arrays.items()
+            ]
+        return sel
+
+    key = ("pairs.prefixed", prefix, tuple(line_arrays), flat)
+    return docs.select(*cached_exprs(key, _build))
 
 
 def _features_per_pair(docs: DataFrame, pairs: DataFrame) -> DataFrame:
@@ -277,18 +284,23 @@ def _features_per_pair(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     j = jb.join(a.hint("shuffle_hash"), jb["a_doc_id"] == a["a_doc_id"]).drop(
         a["a_doc_id"]
     )
+    def _kernel_cols():
+        return [
+            F.col("part"),
+            F.col("a_doc_id"),
+            F.col("b_doc_id"),
+            F.col("block_priority"),
+            pair_kernel(
+                F.col("a_invnum_norm"), F.col("b_invnum_norm"),
+                *[F.col("a_" + name) for name in PAIR_LINE_ARRAYS],
+                *[F.col("b_" + name) for name in _B_LINE_ARRAYS],
+            ).alias("_pk"),
+            *[F.col("a_" + c) for c in PAIR_PAYLOAD_COLS if c != "doc_id"],
+            *[F.col("b_" + c) for c in PAIR_PAYLOAD_COLS if c != "doc_id"],
+        ]
+
     return j.select(
-        "part",
-        "a_doc_id",
-        "b_doc_id",
-        "block_priority",
-        pair_kernel(
-            F.col("a_invnum_norm"), F.col("b_invnum_norm"),
-            *[F.col("a_" + name) for name in PAIR_LINE_ARRAYS],
-            *[F.col("b_" + name) for name in _B_LINE_ARRAYS],
-        ).alias("_pk"),
-        *[F.col("a_" + c) for c in PAIR_PAYLOAD_COLS if c != "doc_id"],
-        *[F.col("b_" + c) for c in PAIR_PAYLOAD_COLS if c != "doc_id"],
+        *cached_exprs(("pairs.kernel_sel",), _kernel_cols)
     ).select("*", "_pk.*").drop("_pk")
 
 
@@ -380,46 +392,58 @@ def score_pairs(
     else:
         raise ValueError(f"unknown payload_mode {payload_mode!r}")
 
-    feats = S.header_features("a_", "b_")
-    j = j.select(
-        "part",
-        "a_doc_id",
-        "b_doc_id",
-        "block_priority",
-        *[expr.alias(name) for name, expr in feats.items()],
-        *[F.col(c) for c in PAIR_KERNEL_FEATURES],
-        # carried through for rule evaluation on the top-1 row
-        F.col("a_invnum_norm"),
-        F.col("b_invnum_norm"),
-        F.col("a_po"),
-        F.col("b_po"),
-        F.col("a_total"),
-        F.col("b_total"),
-        F.col("a_pdf_hash"),
-        F.col("b_pdf_hash"),
-    )
+    def _feat_cols():
+        feats = S.header_features("a_", "b_")
+        return [
+            F.col("part"),
+            F.col("a_doc_id"),
+            F.col("b_doc_id"),
+            F.col("block_priority"),
+            *[expr.alias(name) for name, expr in feats.items()],
+            *[F.col(c) for c in PAIR_KERNEL_FEATURES],
+            # carried through for rule evaluation on the top-1 row
+            F.col("a_invnum_norm"),
+            F.col("b_invnum_norm"),
+            F.col("a_po"),
+            F.col("b_po"),
+            F.col("a_total"),
+            F.col("b_total"),
+            F.col("a_pdf_hash"),
+            F.col("b_pdf_hash"),
+        ]
+
+    j = j.select(*cached_exprs(("pairs.feat_sel",), _feat_cols))
 
     # ONE withColumns call for the probability + deterministic rules
     # (rules applied from the top-1 row only downstream): every chained
     # withColumn is a py4j round-trip plus an incremental re-analysis of
-    # the whole plan — on this DAG the chain was measured at ~40 ms per
-    # call of pure driver latency, paid once per run
-    return j.withColumns({
-        "dup_prob": S.dup_probability(
-            weights=(model or {}).get("weights"),
-            bias=(model or {}).get("bias"),
-        ),
-        "rule_exact_invnum": S.rule_same_invnum_norm(
-            F.col("a_invnum_norm"), F.col("b_invnum_norm")
-        ),
-        "rule_same_po_near_total": S.rule_same_po_near_total(
-            F.col("a_po"), F.col("b_po"), F.col("a_total"), F.col("b_total"),
-            F.col("days_diff").cast("int"),
-        ),
-        "rule_pdf_near_dup": S.rule_pdf_near_dup(
-            F.col("a_pdf_hash"), F.col("b_pdf_hash")
-        ),
-    })
+    # the whole plan — pure driver latency paid once per run. The cache
+    # key carries the trained-model identity (weights/bias are baked into
+    # the probability expression as literals).
+    weights = (model or {}).get("weights")
+    bias = (model or {}).get("bias")
+    model_key = (
+        None
+        if weights is None
+        else (tuple(sorted(weights.items())), bias)
+    )
+
+    def _score_cols():
+        return {
+            "dup_prob": S.dup_probability(weights=weights, bias=bias),
+            "rule_exact_invnum": S.rule_same_invnum_norm(
+                F.col("a_invnum_norm"), F.col("b_invnum_norm")
+            ),
+            "rule_same_po_near_total": S.rule_same_po_near_total(
+                F.col("a_po"), F.col("b_po"), F.col("a_total"), F.col("b_total"),
+                F.col("days_diff").cast("int"),
+            ),
+            "rule_pdf_near_dup": S.rule_pdf_near_dup(
+                F.col("a_pdf_hash"), F.col("b_pdf_hash")
+            ),
+        }
+
+    return j.withColumns(cached_exprs(("pairs.score_cols", model_key), _score_cols))
 
 
 def top_matches(scored: DataFrame, k: int = 3) -> DataFrame:

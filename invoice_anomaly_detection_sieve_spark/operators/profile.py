@@ -40,34 +40,44 @@ def profile(docs: DataFrame, field: str = "total", group_col: str = "part") -> D
     digit counts), sample_count (non-null rows; the cold-start gate,
     app/anomaly.py:91-92).
     """
-    col = F.col(field)
-    digit = leading_digit(col)
+    from ..functions.exprcache import cached_exprs
+
+    def _agg_cols():
+        col = F.col(field)
+        digit = leading_digit(col)
+        return [
+            F.count(F.lit(1)).alias("cnt"),
+            (F.sum(col.isNull().cast("long")) / F.count(F.lit(1))).alias("null_rate"),
+            F.approx_count_distinct(col).alias("approx_distinct"),
+            F.avg(col).alias("mean"),
+            F.coalesce(F.stddev_samp(col), F.lit(0.0)).alias("std"),
+            F.percentile_approx(col, PROFILE_QUANTILES, APPROX_ACCURACY).alias("quantiles"),
+            F.percentile_approx(col, PSI_DECILES, APPROX_ACCURACY).alias("deciles"),
+            F.array(
+                *[F.sum((digit == str(d)).cast("long")).alias(f"d{d}") for d in range(1, 10)]
+            ).alias("digit_hist"),
+            F.count(col).alias("sample_count"),
+        ]
+
+    def _out_cols():
+        return [
+            F.col(group_col).alias("part"),
+            F.lit(field).alias("field"),
+            F.col("cnt"),
+            F.col("null_rate"),
+            F.col("approx_distinct"),
+            F.col("mean"),
+            F.col("std"),
+            F.col("quantiles"),
+            F.col("deciles"),
+            F.col("digit_hist"),
+            F.col("sample_count"),
+        ]
+
     agg = docs.groupBy(group_col).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        (F.sum(col.isNull().cast("long")) / F.count(F.lit(1))).alias("null_rate"),
-        F.approx_count_distinct(col).alias("approx_distinct"),
-        F.avg(col).alias("mean"),
-        F.coalesce(F.stddev_samp(col), F.lit(0.0)).alias("std"),
-        F.percentile_approx(col, PROFILE_QUANTILES, APPROX_ACCURACY).alias("quantiles"),
-        F.percentile_approx(col, PSI_DECILES, APPROX_ACCURACY).alias("deciles"),
-        F.array(
-            *[F.sum((digit == str(d)).cast("long")).alias(f"d{d}") for d in range(1, 10)]
-        ).alias("digit_hist"),
-        F.count(col).alias("sample_count"),
+        *cached_exprs(("profile.agg", field, group_col), _agg_cols)
     )
-    return agg.select(
-        F.col(group_col).alias("part"),
-        F.lit(field).alias("field"),
-        "cnt",
-        "null_rate",
-        "approx_distinct",
-        "mean",
-        "std",
-        "quantiles",
-        "deciles",
-        "digit_hist",
-        "sample_count",
-    )
+    return agg.select(*cached_exprs(("profile.out", field, group_col), _out_cols))
 
 
 def digit_histogram(docs: DataFrame, field: str = "total", group_col: str = "part") -> DataFrame:

@@ -37,13 +37,18 @@ def future_date(date: Column, as_of: Column | None = None) -> Column:
 def with_row_checks(docs: DataFrame, as_of: str | None = None) -> DataFrame:
     """Attach the three DQ flags (dq_line_sum_mismatch, dq_bad_currency,
     dq_future_date). ``as_of`` pins 'today' for deterministic tests."""
-    as_of_col = F.to_date(F.lit(as_of)) if as_of else F.current_date()
-    # single withColumns call — a chained withColumn costs a py4j
-    # round-trip + plan re-analysis each (driver latency per run)
-    return docs.withColumns({
-        "dq_line_sum_mismatch": line_sum_mismatch(
-            F.col("total"), F.col("line_amount_sum"), F.col("n_lines")
-        ),
-        "dq_bad_currency": bad_currency(F.col("currency")),
-        "dq_future_date": future_date(F.col("date"), as_of_col),
-    })
+    from ..functions.exprcache import cached_exprs
+
+    def _dq_cols():
+        as_of_col = F.to_date(F.lit(as_of)) if as_of else F.current_date()
+        # single withColumns dict — a chained withColumn costs a py4j
+        # round-trip + plan re-analysis each (driver latency per run)
+        return {
+            "dq_line_sum_mismatch": line_sum_mismatch(
+                F.col("total"), F.col("line_amount_sum"), F.col("n_lines")
+            ),
+            "dq_bad_currency": bad_currency(F.col("currency")),
+            "dq_future_date": future_date(F.col("date"), as_of_col),
+        }
+
+    return docs.withColumns(cached_exprs(("dq.cols", as_of), _dq_cols))

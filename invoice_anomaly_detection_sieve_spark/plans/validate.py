@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..documents import extract_docs
 from ..functions import scoring as S
+from ..functions.exprcache import cached_exprs
 from ..operators import blocking, drift, pairs, profile, registry, rowchecks
 
 
@@ -238,102 +239,114 @@ def doc_verdicts_from_docs(
         "left",
     )
 
-    dup_prob = F.coalesce(F.col("dup_prob"), F.lit(0.0))  # no candidates ⇒ 0.0 (app/main.py:306)
-    text_dup = F.coalesce(F.col("text_dup_prob"), F.lit(0.0))
-    risk = S.fuse_scores(dup_prob, F.col("anom_prob"), F.col("bank_change"), text_dup)
-    decision = S.decide(risk, cfg.review_threshold, cfg.hold_threshold)
+    def _verdict_cols():
+        dup_prob = F.coalesce(F.col("dup_prob"), F.lit(0.0))  # no candidates ⇒ 0.0 (app/main.py:306)
+        text_dup = F.coalesce(F.col("text_dup_prob"), F.lit(0.0))
+        risk = S.fuse_scores(dup_prob, F.col("anom_prob"), F.col("bank_change"), text_dup)
+        decision = S.decide(risk, cfg.review_threshold, cfg.hold_threshold)
 
-    rule = lambda c: F.coalesce(F.col(c), F.lit(False))
-    # canonical reason order = reference emission order (rules on top-1,
-    # then BANK_CHANGE, then anomaly reasons; dedup preserves first
-    # occurrence — app/rules.py:45-70, app/main.py:314-327)
-    reason_entries = [
-        F.when(rule("rule_exact_invnum"), F.lit("EXACT_INVNUM")),
-        F.when(rule("rule_same_po_near_total"), F.lit("SAME_PO_NEAR_TOTAL")),
-        F.when(rule("rule_pdf_near_dup"), F.lit("PDF_NEAR_DUP")),
-        F.when(F.col("bank_change"), F.lit("BANK_CHANGE")),
-        F.when(F.col("amount_outlier"), F.lit("UNIT_PRICE_OUTLIER")),
-        F.when(rule("dq_line_sum_mismatch"), F.lit("LINE_SUM_MISMATCH")),
-        F.when(rule("dq_bad_currency"), F.lit("INVALID_CURRENCY")),
-        F.when(rule("dq_future_date"), F.lit("IMPLAUSIBLE_DATE")),
-    ] + [
-        # extension beyond the reference's reason set: per-field drift,
-        # emitted after the canonical codes so their order is unchanged
-        F.when(rule(f"{f}_drift_outlier"), F.lit(f"FIELD_DRIFT_{f.upper()}"))
-        for f in extra_fields
-    ]
-    reasons = F.filter(F.array(*reason_entries), lambda x: x.isNotNull())
-
-    return joined.select(
-        "part",
-        "doc_id",
-        risk.alias("risk_score"),
-        decision.alias("decision"),
-        reasons.alias("reason_codes"),
-        dup_prob.alias("dup_prob"),
-        F.col("anom_prob"),
-        F.col("top_match_doc_id"),
-        F.col("bank_change"),
-        F.col("amount_z"),
-        F.col("amount_outlier"),
-        F.col("dq_line_sum_mismatch"),
-        F.col("dq_bad_currency"),
-        F.col("dq_future_date"),
-        F.col("span_canon"),
-        F.col("total"),
-        *[
-            c
+        rule = lambda c: F.coalesce(F.col(c), F.lit(False))
+        # canonical reason order = reference emission order (rules on top-1,
+        # then BANK_CHANGE, then anomaly reasons; dedup preserves first
+        # occurrence — app/rules.py:45-70, app/main.py:314-327)
+        reason_entries = [
+            F.when(rule("rule_exact_invnum"), F.lit("EXACT_INVNUM")),
+            F.when(rule("rule_same_po_near_total"), F.lit("SAME_PO_NEAR_TOTAL")),
+            F.when(rule("rule_pdf_near_dup"), F.lit("PDF_NEAR_DUP")),
+            F.when(F.col("bank_change"), F.lit("BANK_CHANGE")),
+            F.when(F.col("amount_outlier"), F.lit("UNIT_PRICE_OUTLIER")),
+            F.when(rule("dq_line_sum_mismatch"), F.lit("LINE_SUM_MISMATCH")),
+            F.when(rule("dq_bad_currency"), F.lit("INVALID_CURRENCY")),
+            F.when(rule("dq_future_date"), F.lit("IMPLAUSIBLE_DATE")),
+        ] + [
+            # extension beyond the reference's reason set: per-field drift,
+            # emitted after the canonical codes so their order is unchanged
+            F.when(rule(f"{f}_drift_outlier"), F.lit(f"FIELD_DRIFT_{f.upper()}"))
             for f in extra_fields
-            for c in (F.col(f"{f}_drift_z"), F.col(f"{f}_drift_outlier"))
-        ],
-    )
+        ]
+        reasons = F.filter(F.array(*reason_entries), lambda x: x.isNotNull())
+
+        return [
+            F.col("part"),
+            F.col("doc_id"),
+            risk.alias("risk_score"),
+            decision.alias("decision"),
+            reasons.alias("reason_codes"),
+            dup_prob.alias("dup_prob"),
+            F.col("anom_prob"),
+            F.col("top_match_doc_id"),
+            F.col("bank_change"),
+            F.col("amount_z"),
+            F.col("amount_outlier"),
+            F.col("dq_line_sum_mismatch"),
+            F.col("dq_bad_currency"),
+            F.col("dq_future_date"),
+            F.col("span_canon"),
+            F.col("total"),
+            *[
+                c
+                for f in extra_fields
+                for c in (F.col(f"{f}_drift_z"), F.col(f"{f}_drift_outlier"))
+            ],
+        ]
+
+    # the select list is pure expressions over fixed names, parameterized
+    # only by the thresholds and extra drift fields — cache per context
+    return joined.select(*cached_exprs(
+        ("verdict.sel", cfg.review_threshold, cfg.hold_threshold, extra_fields),
+        _verdict_cols,
+    ))
 
 
 def violations_from_verdicts(verdicts: DataFrame) -> DataFrame:
     """Explode per-doc reasons into violation evidence rows (VIOLATIONS
     schema): one row per (doc, reason), carrying the byte-exact span
     sequence and scalar evidence."""
-    constraint_of = F.create_map(
-        F.lit("EXACT_INVNUM"), F.lit("uniqueness"),
-        F.lit("SAME_PO_NEAR_TOTAL"), F.lit("uniqueness"),
-        F.lit("PDF_NEAR_DUP"), F.lit("uniqueness"),
-        F.lit("BANK_CHANGE"), F.lit("referential"),
-        F.lit("UNIT_PRICE_OUTLIER"), F.lit("drift"),
-        F.lit("LINE_SUM_MISMATCH"), F.lit("row_dq"),
-        F.lit("INVALID_CURRENCY"), F.lit("row_dq"),
-        F.lit("IMPLAUSIBLE_DATE"), F.lit("row_dq"),
-    )
-    exploded = verdicts.select(
-        "part",
-        "doc_id",
-        "span_canon",
-        "risk_score",
-        "dup_prob",
-        "top_match_doc_id",
-        "amount_z",
+    exploded = verdicts.select(*cached_exprs(("violations.explode",), lambda: [
+        F.col("part"),
+        F.col("doc_id"),
+        F.col("span_canon"),
+        F.col("risk_score"),
+        F.col("dup_prob"),
+        F.col("top_match_doc_id"),
+        F.col("amount_z"),
         F.explode("reason_codes").alias("reason_code"),
-    )
-    return exploded.select(
-        "part",
-        # FIELD_DRIFT_<FIELD> codes (ValidationConfig.drift_fields extras)
-        # are per-field, so they map by prefix rather than by entry
-        F.coalesce(
-            F.element_at(constraint_of, F.col("reason_code")),
-            F.when(F.col("reason_code").startswith("FIELD_DRIFT_"), F.lit("drift")),
-        ).alias("constraint_id"),
-        "reason_code",
-        "doc_id",
-        F.map_filter(
-            F.create_map(
-                F.lit("risk_score"), F.col("risk_score").cast("string"),
-                F.lit("dup_prob"), F.col("dup_prob").cast("string"),
-                F.lit("top_match_doc_id"), F.col("top_match_doc_id"),
-                F.lit("amount_z"), F.col("amount_z").cast("string"),
-            ),
-            lambda _, v: v.isNotNull(),
-        ).alias("evidence"),
-        F.col("span_canon").alias("span_seq"),
-    )
+    ]))
+
+    def _out_cols():
+        constraint_of = F.create_map(
+            F.lit("EXACT_INVNUM"), F.lit("uniqueness"),
+            F.lit("SAME_PO_NEAR_TOTAL"), F.lit("uniqueness"),
+            F.lit("PDF_NEAR_DUP"), F.lit("uniqueness"),
+            F.lit("BANK_CHANGE"), F.lit("referential"),
+            F.lit("UNIT_PRICE_OUTLIER"), F.lit("drift"),
+            F.lit("LINE_SUM_MISMATCH"), F.lit("row_dq"),
+            F.lit("INVALID_CURRENCY"), F.lit("row_dq"),
+            F.lit("IMPLAUSIBLE_DATE"), F.lit("row_dq"),
+        )
+        return [
+            F.col("part"),
+            # FIELD_DRIFT_<FIELD> codes (ValidationConfig.drift_fields extras)
+            # are per-field, so they map by prefix rather than by entry
+            F.coalesce(
+                F.element_at(constraint_of, F.col("reason_code")),
+                F.when(F.col("reason_code").startswith("FIELD_DRIFT_"), F.lit("drift")),
+            ).alias("constraint_id"),
+            F.col("reason_code"),
+            F.col("doc_id"),
+            F.map_filter(
+                F.create_map(
+                    F.lit("risk_score"), F.col("risk_score").cast("string"),
+                    F.lit("dup_prob"), F.col("dup_prob").cast("string"),
+                    F.lit("top_match_doc_id"), F.col("top_match_doc_id"),
+                    F.lit("amount_z"), F.col("amount_z").cast("string"),
+                ),
+                lambda _, v: v.isNotNull(),
+            ).alias("evidence"),
+            F.col("span_canon").alias("span_seq"),
+        ]
+
+    return exploded.select(*cached_exprs(("violations.out",), _out_cols))
 
 
 def partition_verdicts(
@@ -343,13 +356,13 @@ def partition_verdicts(
     """Per-partition pass/fail rollup: counts by decision, violation
     totals, optional Benford drift status. FAIL iff any HOLD or any
     partition-level drift failure; WARN on REVIEWs only; else PASS."""
-    agg = verdicts.groupBy("part").agg(
+    agg = verdicts.groupBy("part").agg(*cached_exprs(("partv.agg",), lambda: [
         F.count(F.lit(1)).alias("n_docs"),
         F.sum((F.col("decision") == S.HOLD).cast("long")).alias("n_hold"),
         F.sum((F.col("decision") == S.REVIEW).cast("long")).alias("n_review"),
         F.sum(F.size("reason_codes")).alias("n_violations"),
         F.max("risk_score").alias("max_risk_score"),
-    )
+    ]))
     if benford is not None:
         agg = agg.join(benford.select("part", "benford_mad", "benford_fail"), "part", "left")
     else:
@@ -411,15 +424,23 @@ def run_validation(
     extracted = extract_docs(documents)
     from ..operators.pairs import PAIR_LINE_ARRAYS
 
-    docs = extracted.select(
-        "part", "doc_id", "invnum_norm", "po", "total", "tax_total",
-        "currency", "date", "payee", "media_key", "pdf_hash", "span_canon",
-        "n_lines", "line_amount_sum",
-        *[
-            F.transform(F.col("lines"), fn).alias(name)
-            for name, fn in PAIR_LINE_ARRAYS.items()
-        ],
-    )
+    def _slim_cols():
+        return [
+            *[
+                F.col(c)
+                for c in (
+                    "part", "doc_id", "invnum_norm", "po", "total", "tax_total",
+                    "currency", "date", "payee", "media_key", "pdf_hash",
+                    "span_canon", "n_lines", "line_amount_sum",
+                )
+            ],
+            *[
+                F.transform(F.col("lines"), fn).alias(name)
+                for name, fn in PAIR_LINE_ARRAYS.items()
+            ],
+        ]
+
+    docs = extracted.select(*cached_exprs(("validate.slim",), _slim_cols))
     if persist_extraction == "staging":
         import tempfile
 
