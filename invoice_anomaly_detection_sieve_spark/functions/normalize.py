@@ -75,9 +75,14 @@ def text_blob(parts: Column) -> Column:
 
 def char_ngrams(col: Column, n: int = 3) -> Column:
     """Array of all character n-grams; empty array when len < n
-    (reference ``_ngram_slices``, app/main.py:205-208)."""
-    idx = F.sequence(F.lit(1), F.length(col) - (n - 1))
-    grams = F.transform(idx, lambda i: F.substring(col, i, n))
+    (reference ``_ngram_slices``, app/main.py:205-208).
+
+    One ``regexp_extract_all`` with a zero-width lookahead ((?s) so the
+    dot crosses newlines, exactly like substring) — a single codegen'd
+    Java-regex pass. The previous sequence + transform-lambda formulation
+    fell out of whole-stage codegen (higher-order functions are
+    interpreted) and paid interpreted-eval cost per gram."""
+    grams = F.regexp_extract_all(col, F.lit("(?s)(?=(.{%d}))" % n), 1)
     return F.when(F.length(col) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )

@@ -94,7 +94,16 @@ def candidate_pairs(
     #    defaultParallelism instead of spark.sql.shuffle.partitions,
     #    scale-adaptive on a cluster where defaultParallelism tracks
     #    executor count).
-    keys = guard_hot_keys(block_keys(docs), ["part", "bkey"], max_key_fanout)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    # explicit repartition: the guard window and the collect_list groupBy
+    # ride ONE exchange pinned to defaultParallelism. Map-side partial
+    # aggregation is no loss here — partial collect_list only batches
+    # lists, it never reduces the bytes crossing the exchange — so the
+    # raw key rows shuffle the same volume at any scale.
+    keys = guard_hot_keys(
+        block_keys(docs).repartition(n_part, "part", "bkey"),
+        ["part", "bkey"], max_key_fanout,
+    )
     grouped = keys.groupBy("part", "bkey").agg(
         cached_exprs(("blocking.collect",), lambda: F.collect_list("doc_id").alias("_ids"))
     )
@@ -111,7 +120,6 @@ def candidate_pairs(
         ]))
         .where(F.col("a_doc_id") != F.col("b_doc_id"))
     )
-    n_part = docs.sparkSession.sparkContext.defaultParallelism
     deduped = pairs.repartition(n_part, "a_doc_id").groupBy(
         "part", "a_doc_id", "b_doc_id"
     ).agg(

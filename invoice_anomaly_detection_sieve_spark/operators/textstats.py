@@ -176,14 +176,23 @@ def with_text_stats(
     c = F.col(text_col)
     docs = ensure_min_parallelism(docs)
     ex = docs.select(F.col(id_col).alias("_id"), F.explode_outer(tokens(c)).alias("_t"))
+    # materialize the cleaned token once as an attribute: each of the 7
+    # per-language aggregates referencing the regexp_replace expression
+    # directly would re-run the regex per aggregate
     clean = F.lower(F.regexp_replace(F.col("_t"), r"[^a-zA-Z0-9]", ""))
+    ex = ex.select(
+        "_id",
+        F.col("_t").isNotNull().alias("_has"),
+        F.length("_t").alias("_len"),
+        clean.alias("_clean"),
+    )
     aggs = [
-        F.count(F.col("_t")).alias("n_tokens"),
-        F.coalesce(F.sum(F.length(F.col("_t"))), F.lit(0)).alias("_sum_len"),
+        F.count(F.when(F.col("_has"), 1)).alias("n_tokens"),
+        F.coalesce(F.sum(F.col("_len")), F.lit(0)).alias("_sum_len"),
     ]
     for lang, words in STOPWORDS.items():
         aggs.append(
-            F.sum(F.when(clean.isin(words), 1).otherwise(0)).alias(f"_hits_{lang}")
+            F.sum(F.when(F.col("_clean").isin(words), 1).otherwise(0)).alias(f"_hits_{lang}")
         )
     stats = ex.groupBy("_id").agg(*aggs)
 
