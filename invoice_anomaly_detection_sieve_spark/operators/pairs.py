@@ -456,7 +456,18 @@ def top_matches(scored: DataFrame, k: int = 3) -> DataFrame:
 def doc_duplicate_signals(scored: DataFrame, k: int = 3) -> DataFrame:
     """Roll pairs up to one row per document (app/main.py:305-321):
     dup_prob = top-1 similarity, text_dup_prob = max text_cosine over the
-    top-k, rule flags from the top-1 candidate only."""
+    top-k, rule flags from the top-1 candidate only.
+
+    DELIBERATELY grouped on (part, a_doc_id), not a_doc_id alone: with the
+    grouping key equal to the verdict join's key, Catalyst can prove the
+    rollup unique per doc_id and ELIMINATE the left-outer verdict join
+    under a bare count() — dropping the entire pair pipeline from
+    count-shaped actions (measured: validate_full "8 s → 2 s" with the
+    pair DAG gone from the counted plan). Real consumers (verdict writes,
+    entry()) always pay the full DAG, so that 4x is a measurement artifact,
+    not a speedup; the composite key keeps count-shaped plans honest. Both
+    groupings ride the kernel output's hash(a_doc_id) partitioning and the
+    join reuses it through the rename either way."""
     top = top_matches(scored, k)
     first = lambda c: F.max(F.when(F.col("match_rank") == 1, c))
     return top.groupBy("part", "a_doc_id").agg(

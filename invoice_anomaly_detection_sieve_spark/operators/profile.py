@@ -42,17 +42,33 @@ def profile(docs: DataFrame, field: str = "total", group_col: str = "part") -> D
     """
     from ..functions.exprcache import cached_exprs
 
+    def _in_cols():
+        # pre-project the aggregate's inputs as ATTRIBUTES: the leading-
+        # digit regexp is referenced by 9 separate sum aggregates, and
+        # separate aggregate expressions get no common-subexpression
+        # elimination — inlined, the regexp (abs → cast-to-string → regex
+        # scan) ran 9× per input row (same fix as the simhash gram hash)
+        return [F.col(group_col), F.col(field).alias("_v"),
+                leading_digit(F.col(field)).alias("_d")]
+
     def _agg_cols():
-        col = F.col(field)
-        digit = leading_digit(col)
+        col = F.col("_v")
+        digit = F.col("_d")
         return [
             F.count(F.lit(1)).alias("cnt"),
             (F.sum(col.isNull().cast("long")) / F.count(F.lit(1))).alias("null_rate"),
             F.approx_count_distinct(col).alias("approx_distinct"),
             F.avg(col).alias("mean"),
             F.coalesce(F.stddev_samp(col), F.lit(0.0)).alias("std"),
-            F.percentile_approx(col, PROFILE_QUANTILES, APPROX_ACCURACY).alias("quantiles"),
-            F.percentile_approx(col, PSI_DECILES, APPROX_ACCURACY).alias("deciles"),
+            # ONE percentile sketch queried at all 13 points: the sketch
+            # state depends only on (rows, accuracy), not on which
+            # percentiles are asked of it, so quantiles/deciles sliced from
+            # a single aggregate are bit-identical to the two-sketch
+            # formulation — which built (and merged) the same summaries
+            # twice per group
+            F.percentile_approx(
+                col, PROFILE_QUANTILES + PSI_DECILES, APPROX_ACCURACY
+            ).alias("_qd"),
             F.array(
                 *[F.sum((digit == str(d)).cast("long")).alias(f"d{d}") for d in range(1, 10)]
             ).alias("digit_hist"),
@@ -60,6 +76,7 @@ def profile(docs: DataFrame, field: str = "total", group_col: str = "part") -> D
         ]
 
     def _out_cols():
+        nq = len(PROFILE_QUANTILES)
         return [
             F.col(group_col).alias("part"),
             F.lit(field).alias("field"),
@@ -68,13 +85,14 @@ def profile(docs: DataFrame, field: str = "total", group_col: str = "part") -> D
             F.col("approx_distinct"),
             F.col("mean"),
             F.col("std"),
-            F.col("quantiles"),
-            F.col("deciles"),
+            F.slice(F.col("_qd"), 1, nq).alias("quantiles"),
+            F.slice(F.col("_qd"), nq + 1, len(PSI_DECILES)).alias("deciles"),
             F.col("digit_hist"),
             F.col("sample_count"),
         ]
 
-    agg = docs.groupBy(group_col).agg(
+    staged = docs.select(*cached_exprs(("profile.in", field, group_col), _in_cols))
+    agg = staged.groupBy(group_col).agg(
         *cached_exprs(("profile.agg", field, group_col), _agg_cols)
     )
     return agg.select(*cached_exprs(("profile.out", field, group_col), _out_cols))
@@ -85,9 +103,12 @@ def digit_histogram(docs: DataFrame, field: str = "total", group_col: str = "par
     groupBy for testing CURRENT data against the Benford expectation when
     a stored baseline supplies the rest of the profile (recomputing the
     full profile just for its digit_hist would waste the sketch work)."""
-    digit = leading_digit(F.col(field))
+    # digit materialized as an attribute below the aggregate: 9 separate
+    # sum aggregates referencing the regexp inline would each re-run it
+    staged = docs.select(F.col(group_col), leading_digit(F.col(field)).alias("_d"))
+    digit = F.col("_d")
     return (
-        docs.groupBy(group_col)
+        staged.groupBy(group_col)
         .agg(
             F.array(
                 *[F.sum((digit == str(d)).cast("long")) for d in range(1, 10)]
