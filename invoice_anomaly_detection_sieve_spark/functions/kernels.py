@@ -433,17 +433,19 @@ def line_assign_features_arrays(
     which reference fixtures pin.
     """
     n, m = len(a_desc), len(b_desc)
+    if n <= 8 and m <= 8 and n and m:
+        # the overwhelmingly common shape; ~15 small-array numpy calls per
+        # pair cost more than the math itself — plain Python floats win
+        # (includes the amount coercion/sums: for ≤8 elements numpy's
+        # add.reduce is the same sequential left-to-right order as
+        # Python's sum, so the scalar path is bit-identical)
+        return _line_assign_small(a_desc, a_qty, a_up, a_amt, b_desc, b_qty, b_up,
+                                  alpha, beta, gamma)
     a_amt0 = _nan_to_zero(a_amt, n)
     if n == 0 or m == 0:
         total_amount = float(a_amt0.sum())
         frac = float(total_amount / max(total_amount, 1.0)) if total_amount else 1.0
         return 0.0, frac, float(n), total_amount
-
-    if n <= 8 and m <= 8:
-        # the overwhelmingly common shape; ~15 small-array numpy calls per
-        # pair cost more than the math itself — plain Python floats win
-        return _line_assign_small(a_desc, a_qty, a_up, a_amt0, b_desc, b_qty, b_up,
-                                  alpha, beta, gamma)
 
     a_up0 = _nan_to_zero(a_up, n)
     b_up0 = _nan_to_zero(b_up, m)
@@ -498,15 +500,19 @@ def _fz(v) -> float:
 
 
 def _line_assign_small(
-    a_desc, a_qty, a_up, a_amt0, b_desc, b_qty, b_up, alpha, beta, gamma
+    a_desc, a_qty, a_up, a_amt, b_desc, b_qty, b_up, alpha, beta, gamma
 ) -> tuple[float, float, float, float]:
     """numpy-free path for ≤8×8 line matrices — same math, same JW cache,
     same JV solver (``_lsa_small``), python-float arithmetic."""
     n, m = len(a_desc), len(b_desc)
+    a_amt0 = [_fz(v) for v in a_amt]
     a_up0 = [_fz(v) for v in a_up]
     b_up0 = [_fz(v) for v in b_up]
     a_qty0 = [_fz(v) for v in a_qty]
     b_qty0 = [_fz(v) for v in b_qty]
+    # hoist the b-side null-cleanup out of the cell loop: inline it re-ran
+    # ``b_desc[j] or ""`` n times per j
+    b_descs0 = [d or "" for d in b_desc]
     cache = _JW_CACHE
     cost = []
     for i in range(n):
@@ -517,7 +523,7 @@ def _line_assign_small(
         den_q = abs(aqi) if abs(aqi) > 1.0 else 1.0
         row = []
         for j in range(m):
-            db = b_desc[j] or ""
+            db = b_descs0[j]
             key = (db, da) if da > db else (da, db)
             jw = cache.get(key)
             if jw is None:
@@ -552,9 +558,9 @@ def _line_assign_small(
         row_ind = [row_ind[k] for k in order]
         col_ind = [col_ind[k] for k in order]
 
-    total_amount = float(a_amt0.sum())
+    total_amount = float(sum(a_amt0))
     matched = set(row_ind)
-    matched_amount = float(a_amt0[sorted(matched)].sum()) if matched else 0.0
+    matched_amount = float(sum(a_amt0[i] for i in sorted(matched))) if matched else 0.0
     unmatched_amount = total_amount - matched_amount
     if unmatched_amount < 0.0:
         unmatched_amount = 0.0

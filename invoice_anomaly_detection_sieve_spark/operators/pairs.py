@@ -111,11 +111,19 @@ def _pair_kernel_fn(
         "unmatched_amount_frac", "count_new_items", "median_unit_price_diff",
     )}
     # warm the worker-global JW cache with ONE vectorized evaluation of
-    # every distinct string pair this batch needs (invnums + the full
-    # desc-cost grids) — the feature loop below then only does dict hits
+    # every distinct string pair this batch STILL MISSES (invnums + the
+    # full desc-cost grids) — the feature loop below then only does dict
+    # hits. The membership test is inline: on a warm worker (reused across
+    # tasks) nearly every key hits, and collecting only the misses skips
+    # building a ~16·pairs-element key set plus jw_warm_cache's second
+    # full scan of it, per batch (~20 µs/pair of pure bookkeeping).
+    cache = K._JW_CACHE
+    jw_key = K.jw_key
     keys = set()
     for ai, bi in zip(a_inv.tolist(), b_inv.tolist()):
-        keys.add(K.jw_key(ai or "", bi or ""))
+        kk = jw_key(ai or "", bi or "")
+        if kk not in cache:
+            keys.add(kk)
     for ad, bd in zip(a_descs, b_descs):
         if ad is None or bd is None or len(ad) == 0 or len(bd) == 0:
             continue
@@ -123,8 +131,11 @@ def _pair_kernel_fn(
         for da in ad:
             da = da or ""
             for db in b_clean:
-                keys.add(K.jw_key(da, db))
-    K.jw_warm_cache(keys)
+                kk = jw_key(da, db)
+                if kk not in cache:
+                    keys.add(kk)
+    if keys:
+        K.jw_warm_cache(keys)
     blob = _blob_of  # documents.py desc_blob reconstruction
     it = zip(
         a_inv.tolist(), b_inv.tolist(),
