@@ -56,9 +56,11 @@ class ValidationConfig:
     # the "drift" constraint. All extra fields pivot into ONE broadcast
     # row per partition — no per-field join fan-out.
     drift_fields: tuple[str, ...] = ("total",)
-    # staging dir for persist_extraction="staging" (None = a fresh
-    # tempdir; the runner passes a per-run path under its output root so
-    # resume/cleanup owns it)
+    # staging dir for persist_extraction="staging". None = a fresh tempdir
+    # that the CALLER must clean up (run_validation cannot: the returned
+    # DataFrames lazily re-read it). Cluster callers should pass a
+    # per-run path under their own output root; the runner/CLI currently
+    # drives cache mode only.
     staging_dir: str | None = None
     # derived in __post_init__: the audit ledger's constraints_evaluated
     # must list what actually RAN, not the full menu (a run with
@@ -441,6 +443,13 @@ def run_validation(
         ]
 
     docs = extracted.select(*cached_exprs(("validate.slim",), _slim_cols))
+    if isinstance(persist_extraction, str) and persist_extraction not in ("cache", "staging"):
+        # fail loudly on a typo ("stagging") instead of silently running
+        # cache mode with the wrong strategy on a misconfigured cluster
+        raise ValueError(
+            f"persist_extraction must be True/False/'cache'/'staging', "
+            f"got {persist_extraction!r}"
+        )
     if persist_extraction == "staging":
         import tempfile
 

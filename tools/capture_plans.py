@@ -60,6 +60,9 @@ def main():
             return textstats.with_text_stats(d)
         if name == "extract_docs_op":
             return extract_docs(spark.read.parquet(docs_path))
+        if name == "profile_op":
+            from invoice_anomaly_detection_sieve_spark.operators import profile
+            return profile.profile(extract_docs(spark.read.parquet(docs_path)), "total")
         return QUERIES[name](spark, SF_DIR)
 
     for name in names:

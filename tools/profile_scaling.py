@@ -104,6 +104,10 @@ def run(cores: int):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) < 2 or (sys.argv[1] != "materialize" and len(sys.argv) < 3):
+        print(__doc__ or "usage: profile_scaling.py materialize | run <cores>",
+              file=sys.stderr)
+        sys.exit(2)
     if sys.argv[1] == "materialize":
         materialize()
     else:
