@@ -190,6 +190,39 @@ def test_line_assign_tie_equivalence_small_vs_numpy():
     assert small == big
 
 
+def test_small_path_amount_sums_bit_exact():
+    """The ≤8×8 path now coerces/sums amounts as plain floats instead of
+    numpy arrays; that is only legal because Python's left-to-right sum
+    matches numpy add.reduce's sequential order below the pairwise-
+    summation threshold. Pin it with an order-sensitive amount vector
+    (1e16 + 1.0 rounds away before -1e16 cancels) and NaN/None amounts,
+    comparing the small path against the numpy path on the same rows
+    (padded with strictly-worse columns to force the numpy branch)."""
+    a_desc = ["widget", "gear", "bolt"]
+    a_qty = [1.0, 2.0, 3.0]
+    a_up = [10.0, 20.0, 30.0]
+    amts = [1e16, 1.0, -1e16]
+    b_desc, b_qty, b_up = ["widget", "gear", "bolt"], [1.0, 2.0, 3.0], [10.0, 20.0, 30.0]
+    small = K.line_assign_features_arrays(a_desc, a_qty, a_up, amts, b_desc, b_qty, b_up)
+    pad = 9
+    big = K.line_assign_features_arrays(
+        a_desc, a_qty, a_up, amts,
+        b_desc + ["zzz"] * pad, b_qty + [50.0] * pad, b_up + [999.0] * pad,
+    )
+    assert small == big
+    # NaN/None amounts must coerce to 0.0 identically on both paths
+    # (padding keeps n ≤ m so the assignment structure is unchanged)
+    nan_amts = [float("nan"), 5.0, None]
+    small_nan = K.line_assign_features_arrays(
+        a_desc, a_qty, a_up, nan_amts, b_desc, b_qty, b_up
+    )
+    big_nan = K.line_assign_features_arrays(
+        a_desc, a_qty, a_up, np.array([np.nan, 5.0, np.nan]),
+        b_desc + ["zzz"] * pad, b_qty + [50.0] * pad, b_up + [999.0] * pad,
+    )
+    assert small_nan == big_nan
+
+
 def test_bench_kernel_probe_worker_smoke():
     """The bench's kernel-scaling ladder worker must stay call-compatible
     with operators/pairs._pair_kernel_fn — round 4's record lost its
